@@ -1,0 +1,133 @@
+"""Schema-explicit sources (SURVEY §2.1, S1-S7).
+
+The reference declares every input schema by hand — headerless CSVs get
+explicit column ``names``/``dtype``/``parse_dates``
+(reference ``dags/icpe-siretisation.py:65-126,135-139``), SQL sources get
+explicit SELECT lists (``dags/icpe-siretisation.py:230-233``,
+``dags/publish-open-data.py:26-30``). Nothing is inferred. We keep that
+discipline: every reader takes a ``StructType`` (or pushes an explicit
+query to JDBC). At 100 TB schema inference is a full extra scan — never
+enable it.
+
+The reference's pickle relay (S7, ``to_pickle``/``read_pickle`` at every
+Airflow task boundary) has no equivalent here: one lazy lineage replaces
+it, with ``.cache()`` only at genuine branch points (SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tarfile
+import urllib.request
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def resolve_source_path(url_or_path: str, dest: str) -> str:
+    """S1/S2: fetch a remote file to local disk, or copy a local path.
+
+    Mirrors reference ``dags/icpe-siretisation.py:26-32`` — if the
+    location starts with ``/`` it is a local file (test env) and is
+    copied; otherwise it is downloaded. Driver-side by design: at real
+    scale the data lands on object storage and Spark reads it directly.
+    """
+    dest_path = Path(dest)
+    dest_path.parent.mkdir(parents=True, exist_ok=True)
+    if url_or_path.startswith("/"):
+        shutil.copyfile(url_or_path, dest)
+    else:
+        with urllib.request.urlopen(url_or_path) as resp, open(dest, "wb") as f:
+            shutil.copyfileobj(resp, f)
+    return dest
+
+
+def extract_tar_members(archive: str, members: list[str], out_dir: str) -> list[str]:
+    """S3: extract named CSV members from a tar.gz archive
+    (reference ``dags/icpe-siretisation.py:44-52``). Driver-side
+    pre-step — Spark cannot scan tar natively; the extracted CSVs are
+    then read with :func:`read_csv_with_schema`.
+    """
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = []
+    with tarfile.open(archive, "r:gz") as tf:
+        for m in members:
+            tf.extract(m, path=out_dir, filter="data")
+            paths.append(str(out / m))
+    return paths
+
+
+def read_csv_with_schema(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ";",
+    header: bool = False,
+    date_format: str = "d/M/yyyy",
+) -> DataFrame:
+    """S4/S5: headerless CSV scan with explicit schema and day-first
+    dates (reference ``dags/icpe-siretisation.py:135-139``; day-first
+    ``dayfirst=True`` → Spark ``dateFormat='d/M/yyyy'``, SURVEY C8).
+    """
+    return (
+        spark.read.schema(schema)
+        .options(
+            sep=sep,
+            header=str(header).lower(),
+            dateFormat=date_format,
+            timestampFormat=f"{date_format}[ H:mm:ss]",
+            mode="PERMISSIVE",
+        )
+        .csv(path)
+    )
+
+
+def read_jdbc_query(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    properties: dict[str, str] | None = None,
+    partition_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """S6: JDBC scan with SQL pushdown (reference
+    ``dags/icpe-siretisation.py:230-233``, ``dags/publish-open-data.py:26-30``
+    — hand-written SELECT with aliases and casts pushed to Postgres).
+
+    ``partition_options`` (partitionColumn/lowerBound/upperBound/
+    numPartitions) enable parallel reads — mandatory at scale; the
+    reference reads single-threaded.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    for k, v in (partition_options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan — the engine's native format. Column pruning and
+    predicate pushdown are automatic (verify via ``PushedFilters`` /
+    ``ReadSchema`` in ``.explain``)."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver's synthetic tables (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos
+    and is converted here to a microsecond timestamp (truncating, the
+    same conversion DuckDB applies), keeping engine outputs comparable.
+    """
+    if name == "events":
+        # Runtime-settable; applied here too so the engine works under a
+        # caller-built SparkSession that lacks the session-factory conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

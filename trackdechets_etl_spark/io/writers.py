@@ -1,0 +1,55 @@
+"""Sinks (SURVEY §2.1, S8-S10).
+
+The reference writes CSVs (``dags/publish-open-data.py:58,99``) and does
+replace-mode JDBC inserts with a pathological ``chunksize=3``
+(``dags/icpe-siretisation.py:380`` — deliberately NOT replicated; Spark's
+JDBC writer batches at 1000+ rows). The REST sink (S10,
+``dags/publish-open-data.py:97-102``) stays driver-side: collect the
+(small, publishable) result and POST it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` (e.g. event date) enables
+    partition pruning downstream — the 100 TB layout the reference
+    never had (SURVEY §4, partition-pruning row)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """S8: CSV sink (reference ``dags/publish-open-data.py:58``)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """S9: replace-mode JDBC sink (reference
+    ``dags/icpe-siretisation.py:380,385``), with a sane batch size."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

@@ -1,0 +1,203 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design per operator (all deterministic → DuckDB-oracle checkable):
+
+- **Exact**: group/window on the text (or its md5 fingerprint at scale)
+  — canonical doc = min doc_id per group.
+- **N-gram Jaccard**: word 3-gram shingles → inverted index
+  (shingle → docs) self-join → pair intersection counts → Jaccard.
+  The self-join explodes on hot shingles; at 100 TB drop shingles with
+  document frequency above a cap (they contribute candidates, not
+  discrimination) — exposed via ``max_shingle_df``.
+- **MinHash + LSH**: 8 permutations approximated by ``min(md5(seed || shingle))``
+  (lexicographic min of hex digests — portable across engines, no
+  integer hashing needed), banded 4×2; candidates = docs sharing a band
+  bucket; verified by exact Jaccard. Shuffle cost is O(docs × 8 sigs)
+  instead of O(pairs) — the 100 TB path.
+- **SimHash**: 16-bit fingerprint from per-word md5 nibbles; near-dups
+  = identical fingerprints (bucket join, no pair explosion).
+
+No UDFs anywhere — md5/min/groupBy are all JVM built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = N_MINHASH // N_BANDS = 2
+SIMHASH_BITS = 16
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: every row mapped to the canonical
+    (minimum) id sharing identical text. ``is_dup`` flags non-canonical
+    rows. At scale, group on ``fingerprint_md5(text)`` instead of the
+    raw text to shrink the shuffle key."""
+    w = Window.partitionBy(text_col)
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("keep_id"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    ws = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(sh: DataFrame, id_col: str, candidates: DataFrame | None = None) -> DataFrame:
+    """Jaccard for doc pairs from a shingle table; optionally restricted
+    to a candidate-pair frame (id_a, id_b)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"])
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs with word-n-gram Jaccard ≥ threshold.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before the self-join — the skew guard for the inverted-index
+    explosion at scale (a stopword shingle shared by 1M docs would
+    otherwise produce 10^12 candidate rows).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "shingle")
+            .drop("df")
+        )
+    return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = N_MINHASH) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    md5(i || ':' || shingle). Lexicographic min over hex strings is a
+    valid min-hash family and is engine-portable (no 64-bit int
+    wrangling). One groupBy computes all signatures (map-side partial
+    aggregation applies)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by exact Jaccard.
+
+    Bands of 2 signatures hash docs into buckets; only bucket-colliding
+    pairs are candidates, so the join is linear in docs (times bands),
+    not quadratic. Verification recomputes true Jaccard on the
+    candidates only.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sigs = minhash_signatures(sh, id_col)
+    rows_per_band = N_MINHASH // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.bucket")
+    left = banded.select(F.col(id_col).alias("id_a"), "band_id", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_id", "bucket")
+    candidates = (
+        left.join(right, ["band_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, id_col, candidates).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash per doc from word md5 nibbles: bit b is the sign
+    of sum(±1) over words, where a word votes +1 on bit b iff the b-th
+    hex nibble of md5(word) > 7. Aggregation is a single groupBy with 16
+    conditional sums — partial-aggregates map-side."""
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    tokens = tokens.withColumn("h", F.md5(F.col("w")))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(F.col("h"), b + 1, 1), 16, 10).cast("int") > 7,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tokens.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-dup candidates: identical SimHash fingerprints (bucket join
+    — linear, no pair explosion)."""
+    fp = simhash_fingerprints(df, text_col, id_col)
+    a = fp.select(F.col(id_col).alias("id_a"), "simhash")
+    b = fp.select(F.col(id_col).alias("id_b"), "simhash")
+    return (
+        a.join(b, "simhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash")
+    )

@@ -1,0 +1,119 @@
+"""Multimodal column conventions + decode plumbing.
+
+Convention: a modality payload is an opaque ``binary`` column plus a
+typed metadata struct — ``(payload: binary, mm_kind: string,
+n_bytes: long, meta: struct<...>)``. Spark carries binary natively in
+parquet; partitioning/pruning work on the metadata columns, never the
+payload.
+
+The decode / feature-extract / resize / frame-sample steps are Pandas
+UDFs over ``mapInPandas`` (Arrow-batched — the only sane Python path
+for byte blobs). The image/audio libraries are NOT in this container,
+so the actual decode is STUBBED: ``decode_payload`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake feature vector is produced from the bytes. The
+Spark-side plumbing — schema, batch shape, partitioning — is real and
+tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MM_KINDS = ["image", "audio", "video"]
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mm_kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def with_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build the multimodal convention columns from a text table (the
+    container has no real media; bytes come from utf-8 text). Kind is
+    assigned deterministically by id for test coverage of all branches."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        kind.alias("mm_kind"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_payload(payload: bytes, kind: str, fake: bool = False) -> list[float]:
+    """Decode one payload to a feature vector.
+
+    Real decoders (PIL / librosa / av) are not installed in this
+    container — STUB: raises unless ``fake=True``, which returns a
+    deterministic 4-dim feature from the raw bytes (length, first,
+    middle, last byte)."""
+    if not fake:
+        raise NotImplementedError(
+            f"no {kind} decoder available in this environment; use fake=True"
+        )
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    return [
+        float(len(payload)),
+        float(payload[0]),
+        float(payload[len(payload) // 2]),
+        float(payload[-1]),
+    ]
+
+
+def decode_features(df: DataFrame, fake: bool = True, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched decode over ``mapInPandas``: each Python worker
+    receives pandas batches of (doc_id, payload, mm_kind, n_bytes) and
+    emits the DECODED_SCHEMA rows. Partition-parallel — on a cluster
+    this is the pattern for GPU/codec feature extraction; nothing here
+    is driver-side."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mm_kind": pdf["mm_kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": [
+                        decode_payload(bytes(p), k, fake=fake)
+                        for p, k in zip(pdf["payload"], pdf["mm_kind"])
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload", "mm_kind", "n_bytes").mapInPandas(
+        decode_batches, DECODED_SCHEMA
+    )
+
+
+def frame_sample_offsets(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: evenly-spaced byte
+    offsets (stand-in for frame indices), computed JVM-side. A real
+    extractor would seek these offsets inside the mapInPandas decode."""
+    step = F.greatest((F.col("n_bytes") / n_frames).cast("long"), F.lit(1))
+    offsets = F.sequence(F.lit(0), F.col("n_bytes") - 1, step)
+    return df.withColumn("frame_offsets", F.slice(offsets, 1, n_frames))

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine``: JVM-side dot/norms via ``zip_with`` + ``aggregate`` on
+  double-cast arrays — no UDF, stays in codegen.
+- ``topk_bruteforce``: exact top-k for a (small) query set via
+  broadcast-join + window rank. This is the baseline: O(queries × corpus).
+- ``lsh_bucket_topk``: random-hyperplane LSH — deterministic ±1
+  hyperplanes derived from md5 in *Python at plan-build time* (so the
+  exact same literals appear in the Spark plan and the DuckDB oracle),
+  sign-pattern bucket per vector, then top-k within the query's bucket
+  only. The scale path: the corpus is scanned once to bucket, and each
+  query probes ~corpus/2^planes vectors.
+
+At 100 TB the corpus side is partitioned by bucket (write-time layout),
+so a probe touches one partition — the IVF idea expressed as parquet
+partitioning + partition pruning rather than a custom index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_PLANES = 4
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = as_double(a), as_double(b)
+    return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))
+
+
+def hyperplane(plane: int, dims: int) -> list[float]:
+    """Deterministic ±1 hyperplane: component d is +1 iff the first hex
+    nibble of md5('{plane}:{d}') > 7. Computed driver-side with hashlib
+    so the identical literal vector can be embedded in oracle SQL."""
+    return [
+        1.0 if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[0], 16) > 7 else -1.0
+        for d in range(dims)
+    ]
+
+
+def bucket_expr(emb: Column, dims: int, n_planes: int = N_PLANES) -> Column:
+    """LSH bucket id: sum of 2^p over planes whose dot product is > 0."""
+    emb_d = as_double(emb)
+    bucket = None
+    for p in range(n_planes):
+        w = F.array(*[F.lit(x) for x in hyperplane(p, dims)])
+        term = F.when(dot(emb_d, w) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+def topk_bruteforce(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_max: int,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector with id <
+    ``query_ids_max``. The query side is tiny → broadcast; the corpus is
+    scanned once. Rank key is (cos rounded to 9dp desc, id asc) for
+    engine-stable ordering."""
+    q = emb.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    query_ids_max: int,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket. Same rank key as the exact variant."""
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), bucket_expr(F.col(vec_col), dims).alias("bucket")
+    )
+    q = bucketed.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold.
+    ``sample_mod`` restricts the left side to ids ≡ 0 (mod m) — the
+    bench/test shape; at scale the left side would be LSH-bucketed
+    first (see lsh_bucket_topk)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    if sample_mod:
+        a = a.filter(F.col("id_a") % sample_mod == 0)
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

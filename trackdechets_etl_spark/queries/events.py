@@ -1,0 +1,83 @@
+"""Windowed event queries — the batch twins of streaming/events.py
+operators, oracle-checked against DuckDB (time_bucket / gaps-and-islands).
+The streaming execution of the same transformations is covered by
+tests/test_streaming.py (non-SQL-expressible: state, watermarks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.queries import QuerySpec
+from trackdechets_etl_spark.streaming.events import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(read_table(spark, sf_dir, "events"))
+
+
+TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(read_table(spark, sf_dir, "events"))
+
+
+SLIDING_SQL = """
+WITH s AS (
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+    FROM events)
+SELECT ws AS window_start,
+       ws + INTERVAL '1 hour' AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def _session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(read_table(spark, sf_dir, "events"))
+
+
+SESSION_SQL = """
+WITH o AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events),
+f AS (
+    SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes'
+                   THEN 1 ELSE 0 END AS new_s
+    FROM o),
+g AS (
+    SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+    FROM f)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '10 minutes' AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM g GROUP BY user_id, sess
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_tumbling_hourly": QuerySpec(_tumbling, TUMBLING_SQL),
+    "events_sliding_window": QuerySpec(_sliding, SLIDING_SQL),
+    "events_session_window": QuerySpec(_session, SESSION_SQL),
+}

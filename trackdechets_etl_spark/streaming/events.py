@@ -1,0 +1,114 @@
+"""Event-stream operators (designed extension — the reference has no
+streaming at all, SURVEY §1.1; justified by the driver's ``events``
+table).
+
+Every aggregation here is defined once and runs in BOTH modes:
+- batch: ``F.window`` / ``F.session_window`` group-bys on a static
+  DataFrame (these are ordinary Catalyst operators) — this is what the
+  oracle checks;
+- streaming: the same transformations applied to ``readStream`` input
+  with a watermark (tests/test_streaming.py drives them through
+  ``availableNow`` triggers into a memory sink).
+
+Scale notes: watermark + windowed state keeps state bounded; session
+windows use Spark's native session_window operator (merging handled by
+the state store); ``dropDuplicatesWithinWatermark`` gives bounded-state
+stream dedup keyed on event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Epoch-aligned window
+    start (matches DuckDB time_bucket)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding-window totals: each event contributes to width/slide
+    overlapping windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity; session_end = last event + gap (Spark semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_from_parquet(
+    spark, sf_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """readStream over the events parquet (file source) with a
+    watermark — the streaming entry point used by the tests."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf_dir}/events.parquet")
+        .withWatermark("ts", watermark)
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Bounded-state streaming dedup on event_id within the watermark
+    (Spark's dropDuplicatesWithinWatermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str) -> None:
+    """Drive a streaming DataFrame to completion into an in-memory table
+    using availableNow (processes all available input then stops)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
