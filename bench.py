@@ -1,0 +1,78 @@
+"""Headline-query benchmark.
+
+Runs the engine's representative queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced through the noop sink (full computation of every
+column, nothing collected to the driver) after a warm-up of the
+session. Wall-clock per query, one pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from trackdechets_etl_spark.queries import all_queries
+from trackdechets_etl_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "join_inner_rubriques",
+    "agg_coverage_stats",
+    "agg_keep_last_by_year",
+    "pipeline_siretisation_enriched",
+    "pipeline_siretisation_stats",
+    "pipeline_open_data",
+    "events_tumbling_hourly",
+    "events_session_window",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_lsh_bucket_topk",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="bench")
+
+    registry = all_queries()
+    # Warm up the JVM / parquet footer caches with the cheapest query.
+    registry["flagship_revenue_by_nation"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
