@@ -1,0 +1,141 @@
+"""Unit tests for the LLM-pipeline operators on tiny literal frames
+with known answers (planted duplicates, identical vectors)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trackdechets_etl_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+from trackdechets_etl_spark.llm.multimodal import (
+    decode_features,
+    decode_payload,
+    frame_sample_offsets,
+    with_payload,
+)
+from trackdechets_etl_spark.llm.similarity import (
+    cosine,
+    near_dup_pairs,
+    topk_bruteforce,
+)
+from trackdechets_etl_spark.llm.text import lang_id, quality_features
+
+DOC = "the quick brown fox jumps over the lazy dog again and again ok"
+NEAR = "the quick brown fox jumps over the lazy dog again and again no"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, DOC), (3, NEAR), (4, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.doc_id: (r.keep_id, r.is_dup) for r in exact_dedup(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (3, False)
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), "text", "doc_id", threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0          # identical docs
+    assert 0.5 <= got[(1, 3)] < 1.0    # near-dup
+    assert (1, 4) not in got
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(_docs(spark), "text", "doc_id", threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_max_shingle_df_guard(spark):
+    """The skew guard drops ubiquitous shingles; identical docs still
+    pair via their rarer shingles."""
+    pairs = ngram_jaccard_pairs(
+        _docs(spark), "text", "doc_id", threshold=0.9, max_shingle_df=3
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_simhash_identical_and_pairs(spark):
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(_docs(spark), "text", "doc_id").collect()}
+    assert fp[1] == fp[2]
+    assert 0 <= fp[1] < 2**16
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(_docs(spark), "text", "doc_id").collect()}
+    assert (1, 2) in pairs
+
+
+def test_cosine_identity_and_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # identical to 0
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = topk_bruteforce(emb, "vec_id", "embedding", query_ids_max=1, k=3).collect()
+    ranked = [(r.rank, r.c_id, r.cos_sim) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked[0][1] == 1 and ranked[0][2] == 1.0
+    assert ranked[1][2] == 0.0
+    assert ranked[2][1] == 3 and ranked[2][2] == -1.0
+
+
+def test_near_dup_pairs_threshold(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in near_dup_pairs(emb, "vec_id", "embedding", 0.99).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"), (2, "le chat et la mer"), (3, "xyz qqq")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "und"}
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame([(1, "the a of and is")], ["doc_id", "text"])
+    feats = quality_features(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+    assert row.n_words == 5
+    # STOPWORDS = a,the,and,of,is -> all 5 words are stopwords
+    assert row.stopword_ratio == 1.0
+    assert row.quality_score == pytest.approx(0.05 * 0.5, abs=1e-6)
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(0, "hello world"), (1, "x"), (2, "abc")], ["doc_id", "text"])
+    mm = with_payload(df, "text", "doc_id")
+    rows = {r.doc_id: r for r in mm.collect()}
+    assert rows[0].mm_kind == "image" and rows[1].mm_kind == "audio" and rows[2].mm_kind == "video"
+    assert rows[0].n_bytes == 11 and bytes(rows[0].payload) == b"hello world"
+
+    decoded = {r.doc_id: r for r in decode_features(mm, fake=True).collect()}
+    # middle byte of "hello world" (index 5) is the space
+    assert decoded[0].features == [11.0, float(b"h"[0]), 32.0, float(b"d"[0])]
+
+    offsets = {r.doc_id: r.frame_offsets for r in frame_sample_offsets(mm).collect()}
+    assert len(offsets[0]) == 4 and offsets[0][0] == 0
+    assert offsets[1] == [0]  # 1-byte payload -> single frame
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"xx", "image", fake=False)

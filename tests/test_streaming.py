@@ -1,0 +1,58 @@
+"""Structured Streaming tests: the same window aggregations that the
+batch oracle checks, driven through readStream → memory sink with an
+availableNow trigger, must equal their batch twins. Plus bounded-state
+stream dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.streaming.events import (
+    stream_dedup,
+    stream_from_parquet,
+    tumbling_agg,
+)
+from tests.conftest import SF_DIR
+
+
+def _drain(stream_df, name, mode="complete"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    stream = stream_from_parquet(spark, SF_DIR, watermark="2 hours")
+    _drain(tumbling_agg(stream), "t_tumbling")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    batch = tumbling_agg(read_table(spark, SF_DIR, "events"))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_drops_duplicate_ids(spark):
+    events = read_table(spark, SF_DIR, "events")
+    n = events.count()
+    dup = events.unionAll(events.limit(50))
+
+    # availableNow file-source can't replay a derived frame; exercise the
+    # operator in batch mode semantics via dropDuplicates equivalence and
+    # in streaming mode over the parquet source (already-unique ids).
+    assert dup.dropDuplicates(["event_id"]).count() == n
+
+    stream = stream_from_parquet(spark, SF_DIR, watermark="1 hour")
+    deduped = stream_dedup(stream)
+    _drain(deduped.select("event_id"), "t_dedup", mode="append")
+    assert spark.sql("SELECT count(*) c FROM t_dedup").collect()[0].c == n

@@ -85,20 +85,24 @@ def stream_from_parquet(
 ) -> DataFrame:
     """readStream over the events parquet (file source) with a
     watermark — the streaming entry point used by the tests."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .parquet(f"{sf_dir}/events.parquet")
-        .withWatermark("ts", watermark)
-    )
+    # Glob form: the file-stream source requires a directory basePath;
+    # a glob makes it resolve to the parent directory.
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
+    # ts arrives as long nanos (nanosAsLong; see io.readers.read_table) —
+    # convert to a microsecond timestamp before the watermark.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withWatermark("ts", watermark)
 
 
-def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def stream_dedup(events: DataFrame) -> DataFrame:
     """Bounded-state streaming dedup on event_id within the watermark
-    (Spark's dropDuplicatesWithinWatermark)."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_id"]
-    )
+    (Spark's dropDuplicatesWithinWatermark). The input must already
+    carry a watermark (e.g. from :func:`stream_from_parquet`) —
+    re-defining one here is disallowed by the engine."""
+    return events.dropDuplicatesWithinWatermark(["event_id"])
 
 
 def run_to_memory_sink(stream_df: DataFrame, name: str) -> None:
