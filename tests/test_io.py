@@ -1,0 +1,92 @@
+"""IO-layer tests: headerless CSV with explicit schema + day-first
+dates (S4), source-path resolution (S1/S2), tar extraction (S3), and
+the parquet/CSV sinks (S8), mirroring the reference's scan surface."""
+
+from __future__ import annotations
+
+import tarfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from trackdechets_etl_spark.io.readers import (
+    extract_tar_members,
+    read_csv_with_schema,
+    resolve_source_path,
+)
+from trackdechets_etl_spark.io.writers import write_csv, write_parquet
+
+ICPE_LIKE_SCHEMA = StructType(
+    [
+        StructField("code_s3ic", StringType()),
+        StructField("volume", DoubleType()),
+        StructField("date_debut", TimestampType()),
+    ]
+)
+
+
+def test_csv_headerless_dayfirst(spark, tmp_path):
+    """S4/C8: ';'-separated, no header, day-first dates — 25/12/2020
+    must parse as December 25th, and leading zeros survive (string
+    dtype, reference dags/icpe-siretisation.py:91)."""
+    p = tmp_path / "icpe.csv"
+    p.write_text("0061234567;12.5;25/12/2020\n0070000001;;3/1/2021\n")
+    df = read_csv_with_schema(spark, str(p), ICPE_LIKE_SCHEMA)
+    rows = {r.code_s3ic: r for r in df.collect()}
+    assert rows["0061234567"].date_debut.month == 12
+    assert rows["0061234567"].date_debut.day == 25
+    assert rows["0070000001"].date_debut.month == 1  # day-first: 3 Jan
+    assert rows["0070000001"].volume is None
+
+
+def test_resolve_source_path_local(tmp_path):
+    """S2: a path starting with '/' is copied, not downloaded
+    (reference dags/icpe-siretisation.py:26-28)."""
+    src = tmp_path / "src.csv"
+    src.write_text("a;b\n")
+    dest = tmp_path / "sub" / "dest.csv"
+    out = resolve_source_path(str(src), str(dest))
+    assert Path(out).read_text() == "a;b\n"
+
+
+def test_extract_tar_members(tmp_path):
+    """S3: extract named members from a tar.gz
+    (reference dags/icpe-siretisation.py:44-52)."""
+    for name in ["a.csv", "b.csv", "skip.csv"]:
+        (tmp_path / name).write_text(f"{name} content\n")
+    archive = tmp_path / "arch.tar.gz"
+    with tarfile.open(archive, "w:gz") as tf:
+        for name in ["a.csv", "b.csv", "skip.csv"]:
+            tf.add(tmp_path / name, arcname=name)
+    out_dir = tmp_path / "out"
+    paths = extract_tar_members(str(archive), ["a.csv", "b.csv"], str(out_dir))
+    assert [Path(p).name for p in paths] == ["a.csv", "b.csv"]
+    assert (out_dir / "a.csv").read_text() == "a.csv content\n"
+    assert not (out_dir / "skip.csv").exists()
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1, "2020"), ("b", 2, "2021")], ["k", "v", "year"]
+    )
+    out = str(tmp_path / "part")
+    write_parquet(df, out, partition_by=["year"])
+    # partition layout on disk -> partition pruning is possible
+    assert (tmp_path / "part" / "year=2020").exists()
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("year") == "2021").count() == 1
+
+
+def test_csv_sink(spark, tmp_path):
+    df = spark.createDataFrame([("x", 1)], ["k", "v"])
+    out = str(tmp_path / "csv_out")
+    write_csv(df, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.collect()[0].k == "x"

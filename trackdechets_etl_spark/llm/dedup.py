@@ -136,7 +136,10 @@ def minhash_lsh_pairs(
     not quadratic. Verification recomputes true Jaccard on the
     candidates only.
     """
-    sh = shingles(df, text_col, id_col, n)
+    # The shingle table feeds the signatures, the candidate verify join
+    # (twice), and the size counts — cache it at this branch point
+    # instead of recomputing the explode+distinct four times.
+    sh = shingles(df, text_col, id_col, n).cache()
     sigs = minhash_signatures(sh, id_col)
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = [

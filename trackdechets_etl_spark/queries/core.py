@@ -173,6 +173,18 @@ def _scalar_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scalar_cast_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/C8: timestamp→date cast in-query (reference
+    dags/publish-open-data.py:27 does it in source SQL) plus date-part
+    extraction used by the keep-last-by-year chain."""
+    o = FX.installations(spark, sf_dir)
+    return o.select(
+        "inst_id",
+        F.col("date_debut_exploitation").cast("date").alias("date_debut"),
+        F.year("date_debut_exploitation").cast("long").alias("annee"),
+    )
+
+
 # ---------------------------------------------------------------- J: joins
 
 
@@ -334,6 +346,13 @@ QUERIES: dict[str, QuerySpec] = {
             {decode_case_sql('regime', REGIME_LABELS)} AS regime_label,
             {decode_case_sql('seveso', SEVESO_LABELS)} AS seveso_label
         FROM etab""",
+    ),
+    "scalar_cast_date": QuerySpec(
+        _scalar_cast_date,
+        f"""{FIX} SELECT inst_id,
+            CAST(date_debut_exploitation AS DATE) AS date_debut,
+            CAST(year(date_debut_exploitation) AS BIGINT) AS annee
+        FROM inst""",
     ),
     "join_left_enrich": QuerySpec(
         _join_left_enrich,
