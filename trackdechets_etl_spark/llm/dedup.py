@@ -128,6 +128,7 @@ def minhash_lsh_pairs(
     id_col: str,
     threshold: float = 0.8,
     n: int = 3,
+    cache_shingles: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by exact Jaccard.
 
@@ -137,9 +138,14 @@ def minhash_lsh_pairs(
     candidates only.
     """
     # The shingle table feeds the signatures, the candidate verify join
-    # (twice), and the size counts — cache it at this branch point
-    # instead of recomputing the explode+distinct four times.
-    sh = shingles(df, text_col, id_col, n).cache()
+    # (twice), and the size counts. ``cache_shingles=True`` materializes
+    # it once instead of recomputing the explode+distinct four times —
+    # a win once the corpus is large enough that recomputation beats
+    # cache overhead (measured: a LOSS at test scale, a win when the
+    # shingle table no longer fits in a single executor's scan cost).
+    sh = shingles(df, text_col, id_col, n)
+    if cache_shingles:
+        sh = sh.cache()
     sigs = minhash_signatures(sh, id_col)
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = [

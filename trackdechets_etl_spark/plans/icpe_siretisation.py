@@ -162,6 +162,30 @@ def siretisation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIRETISATION_STATS_PRE_SQL = f"""{_FIX}
+, j1 AS (
+    SELECT i.code_s3ic, i.inst_id, e.nom_ets, e.siret
+    FROM inst i LEFT JOIN etab e USING (code_s3ic)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN coalesce(length(siret),0) < 14 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       round(sum(CASE WHEN coalesce(length(siret),0) < 14 THEN 1 ELSE 0 END) / count(*) * 100.0, 6) AS pct_invalid,
+       CAST(count(DISTINCT CASE WHEN length(siret) = 14 THEN siret END) AS BIGINT) AS n_unique_valid
+FROM (SELECT code_s3ic, max(siret) AS siret FROM j1 GROUP BY code_s3ic)
+"""
+
+
+def siretisation_stats_pre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-enrichment run of the reference's A/B stats pair
+    (make_stats on the raw installations frame, reference :408-409;
+    SURVEY §2.9.6) — measures enrichment lift against
+    :func:`siretisation_stats`."""
+    inst = FX.installations(spark, sf_dir)
+    etab = FX.etablissements(spark, sf_dir).select("code_s3ic", "nom_ets", "siret")
+    j1 = enrich_left(inst, etab, "code_s3ic").select("code_s3ic", "inst_id", "siret")
+    return coverage_stats(j1, "code_s3ic", "siret")
+
+
 def rubriques_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The enrich_rubriques branch (reference :145-158, :305-334):
     inner join nomenclature → '27' prefix filter → rubrique_alinea

@@ -42,11 +42,13 @@ from trackdechets_etl_spark.plans.flagship import (
 )
 from trackdechets_etl_spark.plans.icpe_siretisation import (
     SIRETISATION_ENRICHED_SQL,
+    SIRETISATION_STATS_PRE_SQL,
     SIRETISATION_STATS_SQL,
     RUBRIQUES_CHAIN_SQL,
     rubriques_chain,
     siretisation_enriched,
     siretisation_stats,
+    siretisation_stats_pre,
 )
 from trackdechets_etl_spark.plans.publish_open_data import (
     OPEN_DATA_SQL,
@@ -274,6 +276,14 @@ def _agg_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_stats(etab, "code_s3ic", "siret")
 
 
+def _agg_coverage_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A5 at 100 TB: the HLL variant (approx_count_distinct) — one
+    pass, mergeable sketch, no distinct shuffle. No SQL oracle (HLL
+    estimates are engine-specific); driver records rows-only."""
+    etab = FX.etablissements(spark, sf_dir)
+    return coverage_stats(etab, "code_s3ic", "siret", approx=True)
+
+
 # ---------------------------------------------------------------- registry
 
 _STATS_SQL_BODY = """
@@ -409,6 +419,10 @@ QUERIES: dict[str, QuerySpec] = {
             (SELECT CAST(count(*) AS BIGINT) FROM rubr) AS n_rubr""",
     ),
     "agg_coverage_stats": QuerySpec(_agg_coverage_stats, f"{FIX} {_STATS_SQL_BODY}"),
+    "agg_coverage_stats_approx": QuerySpec(_agg_coverage_stats_approx, None),
+    "pipeline_siretisation_stats_pre": QuerySpec(
+        siretisation_stats_pre, SIRETISATION_STATS_PRE_SQL
+    ),
     "pipeline_siretisation_enriched": QuerySpec(
         siretisation_enriched, SIRETISATION_ENRICHED_SQL
     ),

@@ -176,6 +176,19 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "text", "doc_id")
 
 
+def _dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the md5 content fingerprint instead of the
+    raw text — the 100 TB shape: the shuffle key is 32 bytes, not a
+    whole document."""
+    d = read_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", TX.fingerprint_md5(F.col("text")).alias("fp"))
+    grouped = keyed.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return grouped.select("fp", "keep_id", "n_docs")
+
+
 DEDUP_EXACT_SQL = """
 SELECT doc_id,
        min(doc_id) OVER (PARTITION BY text) AS keep_id,
@@ -387,6 +400,15 @@ QUERIES: dict[str, QuerySpec] = {
     "text_lang_id": QuerySpec(_text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": QuerySpec(_text_fingerprint, TEXT_FINGERPRINT_SQL),
     "dedup_exact": QuerySpec(_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_exact_fingerprint": QuerySpec(
+        _dedup_exact_fingerprint,
+        r"""
+        SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+               min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+        """,
+    ),
     "dedup_ngram_jaccard": QuerySpec(_dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": QuerySpec(_dedup_simhash, DEDUP_SIMHASH_SQL),
