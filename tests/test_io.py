@@ -84,6 +84,33 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
     assert back.filter(F.col("year") == "2021").count() == 1
 
 
+def test_publish_rest_sink(spark):
+    """S10: CSV payload + injected transport (reference
+    dags/publish-open-data.py:97-102)."""
+    import pytest
+
+    from trackdechets_etl_spark.plans.publish_open_data import (
+        publish_to_datagouv,
+        to_csv_payload,
+    )
+
+    df = spark.createDataFrame([("s1", "oui"), ("s2", None)], ["siret", "flag"])
+    calls = []
+
+    def fake_post(url, payload, metadata):
+        calls.append((url, payload, metadata))
+        return {"status": 200}
+
+    out = publish_to_datagouv(df, fake_post, "https://example/api", {"title": "t"})
+    assert out == {"status": 200}
+    url, payload, meta = calls[0]
+    assert "siret,flag" in payload and "s1,oui" in payload
+    assert meta == {"title": "t"}
+
+    with pytest.raises(ValueError):
+        to_csv_payload(df, max_rows=1)
+
+
 def test_csv_sink(spark, tmp_path):
     df = spark.createDataFrame([("x", 1)], ["k", "v"])
     out = str(tmp_path / "csv_out")

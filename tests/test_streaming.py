@@ -42,6 +42,38 @@ def test_streaming_tumbling_equals_batch(spark):
     assert got == want
 
 
+def test_streaming_session_equals_batch(spark):
+    from trackdechets_etl_spark.streaming.events import session_agg
+
+    stream = stream_from_parquet(spark, SF_DIR, watermark="2 hours")
+    _drain(session_agg(stream), "t_session")
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_session").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in session_agg(read_table(spark, SF_DIR, "events")).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sliding_equals_batch(spark):
+    from trackdechets_etl_spark.streaming.events import sliding_agg
+
+    stream = stream_from_parquet(spark, SF_DIR, watermark="2 hours")
+    _drain(sliding_agg(stream), "t_sliding")
+    got = {
+        r.window_start: (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_sliding").collect()
+    }
+    want = {
+        r.window_start: (r.n_events, r.sum_value)
+        for r in sliding_agg(read_table(spark, SF_DIR, "events")).collect()
+    }
+    assert got == want
+
+
 def test_stream_dedup_drops_duplicate_ids(spark):
     events = read_table(spark, SF_DIR, "events")
     n = events.count()

@@ -34,6 +34,36 @@ FROM kept LEFT JOIN anon ON kept.siret = anon.siret
 """
 
 
+def to_csv_payload(df: DataFrame, max_rows: int = 1_000_000) -> str:
+    """S8 (in-memory form): render the publishable result as a CSV
+    string for the REST upload (reference ``dags/publish-open-data.py:99``
+    does ``df.to_csv()`` in memory). Guarded: this collects to the
+    driver, which is only sane for the small, already-reduced publish
+    set — the cap fails fast if a caller points it at a fact table."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"refusing to collect {n} rows for a driver-side CSV payload "
+            f"(cap {max_rows}); reduce the frame first"
+        )
+    pdf = df.toPandas()
+    return pdf.to_csv(index=False)
+
+
+def publish_to_datagouv(
+    df: DataFrame,
+    post_fn,
+    resource_url: str,
+    metadata: dict | None = None,
+) -> dict:
+    """S10: POST the CSV payload + PUT metadata (reference
+    ``dags/publish-open-data.py:97-102``). The HTTP transport is
+    injected (``post_fn(url, payload, metadata)``) so the pipeline is
+    testable offline and the engine stays transport-agnostic."""
+    payload = to_csv_payload(df)
+    return post_fn(resource_url, payload, metadata or {})
+
+
 def open_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     odc = FX.open_data_company(spark, sf_dir)
     flagged = odc.withColumn(
