@@ -57,18 +57,37 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
 
 def _pair_jaccard(sh: DataFrame, id_col: str, candidates: DataFrame | None = None) -> DataFrame:
     """Jaccard for doc pairs from a shingle table; optionally restricted
-    to a candidate-pair frame (id_a, id_b)."""
+    to a candidate-pair frame (id_a, id_b).
+
+    With candidates, the intersection counts are built by expanding the
+    candidate pairs against the shingle table (two key joins) instead of
+    the full inverted-index self-join — the self-join is O(Σ df²) over
+    shingle document-frequencies, the candidate expansion is
+    O(|candidates| × shingles/doc)."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"])
+    if candidates is None:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        b2 = sh.select(
+            F.col(id_col).alias("__idb"), F.col("shingle").alias("__shb")
+        )
+        inter = (
+            candidates.join(a, "id_a")
+            .join(
+                b2,
+                (F.col("id_b") == F.col("__idb"))
+                & (F.col("shingle") == F.col("__shb")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
