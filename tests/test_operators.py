@@ -10,6 +10,7 @@ from trackdechets_etl_spark.operators.joins import (
     enrich_left,
     existence_flag,
     fanout_name_join,
+    salted_join,
 )
 from trackdechets_etl_spark.operators.stats import coverage_stats
 
@@ -69,6 +70,23 @@ def test_enrich_left_inner_drops_dangling(spark):
     dim = spark.createDataFrame([(10, "x")], ["id", "v"])
     out = enrich_left(fact, dim, fact.fk == dim.id, how="inner")
     assert out.count() == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change the join result — only the partitioning.
+    Skewed left side: one hot key with many rows."""
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 99)], ["k", "v"]
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C"), ("miss", "M")], ["k", "lbl"])
+    plain = {(r.k, r.v, r.lbl) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.lbl) for r in salted_join(left, right, "k", salt=4).collect()}
+    assert salted == plain and len(salted) == 51
+    # left-outer form keeps unmatched left rows exactly once
+    lo = salted_join(left, right.filter(F.col("k") == "hot"), "k", how="left", salt=4)
+    rows = lo.collect()
+    assert len(rows) == 51
+    assert {r.lbl for r in rows if r.k == "cold"} == {None}
 
 
 def test_coverage_stats_numbers(spark):

@@ -67,6 +67,34 @@ def fanout_name_join(
     return left.join(r, left[left_key] == r[right_key], "left")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: the left (big, skewed) side is salted into
+    ``salt`` sub-keys and the right side is replicated once per salt
+    value, so one hot key spreads across ``salt`` reducers instead of
+    one straggler. AQE's skew-join split handles most cases at runtime;
+    this is the explicit form for when the skew is known up front (or
+    the join sits under an operator AQE can't split).
+
+    The salt is derived from a hash of the left row's columns —
+    deterministic, and correctness-neutral (any assignment is valid);
+    hot-key rows differing in any column spread across reducers.
+    Replication multiplies the right side ×``salt``: only use when the
+    right side is modest (but too big / unwanted to broadcast).
+    """
+    salt_col = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    left2 = left.withColumn("__salt", salt_col)
+    right2 = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return left2.join(right2, [on, "__salt"], how).drop("__salt")
+
+
 def existence_flag(
     left: DataFrame,
     right: DataFrame,

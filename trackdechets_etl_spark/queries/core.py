@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from trackdechets_etl_spark.io.readers import read_table
 from trackdechets_etl_spark.functions.decode import (
     FAMILLE_IC_LABELS,
     REGIME_LABELS,
@@ -175,6 +176,15 @@ def _scalar_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _projection_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: explicit projection then column drop (reference
+    dags/icpe-siretisation.py:93-94,133,141 and :258,276,295 — manual
+    usecols/drop; Catalyst prunes the parquet scan to the two surviving
+    columns, visible as ReadSchema in explain)."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", "c_mktsegment").drop("c_mktsegment")
+
+
 def _scalar_cast_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7/C8: timestamp→date cast in-query (reference
     dags/publish-open-data.py:27 does it in source SQL) plus date-part
@@ -296,6 +306,9 @@ FROM (SELECT code_s3ic, max(siret) AS siret FROM etab GROUP BY code_s3ic)
 
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue_by_nation": QuerySpec(revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "projection_drop": QuerySpec(
+        _projection_drop, "SELECT c_custkey, c_name FROM customer"
+    ),
     "filter_valid_siret": QuerySpec(
         _filter_valid_siret,
         f"{FIX} SELECT code_s3ic, siret FROM etab WHERE length(siret) = 14",

@@ -369,6 +369,87 @@ FROM r WHERE rank <= 5
 """
 
 
+def _emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize embeddings (the standard pre-step before cosine ops
+    can become plain dot products). JVM-side transform/aggregate."""
+    from trackdechets_etl_spark.llm.similarity import as_double, dot
+
+    e = read_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(v, v))
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.transform(v, lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+    )
+
+
+EMB_NORMALIZE_SQL = f"""
+WITH {_EMB},
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
+SELECT vec_id,
+       round(norm, 6) AS l2_norm,
+       list_transform(v, x -> round(x / norm, 6)) AS unit_vec
+FROM n
+"""
+
+QUALITY_KEEP = 0.7
+
+
+def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-cleaning pipeline: quality filter → exact-dedup
+    (keep canonical min-id) → near-dup removal (drop the higher id of
+    every Jaccard≥0.8 pair). The end-to-end flagship of the LLM ops —
+    each stage is one of the registry's verified operators."""
+    d = read_table(spark, sf_dir, "documents")
+    score = TX.quality_features(F.col("text"))["quality_score"]
+    scored = d.select("doc_id", "text", score.alias("quality_score"))
+    kept_q = scored.filter(F.col("quality_score") >= QUALITY_KEEP)
+
+    canon = exact_dedup(d, "text", "doc_id").filter(~F.col("is_dup")).select("doc_id")
+    kept = kept_q.join(canon, "doc_id")
+
+    near = ngram_jaccard_pairs(d, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+    drop_ids = near.select(F.col("id_b").alias("doc_id")).distinct()
+    return kept.join(drop_ids, "doc_id", "left_anti").select(
+        "doc_id", "quality_score"
+    )
+
+
+CORPUS_CLEAN_SQL = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           len(list_filter(string_split(text, ' '),
+                           x -> list_contains({_STOP_LIST}, x))) AS n_stop,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents),
+scored AS (
+    SELECT doc_id, text,
+           round(least(n_words / 100.0, 1.0) * 0.5
+                 + (1.0 - n_stop / n_words) * 0.5, 4) AS quality_score
+    FROM t),
+canon AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
+        FROM documents) WHERE doc_id = keep_id),
+{_SHINGLES.strip().lstrip()},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+near AS (
+    SELECT DISTINCT id_b FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD})
+SELECT s.doc_id, s.quality_score
+FROM scored s
+JOIN canon USING (doc_id)
+WHERE s.quality_score >= {QUALITY_KEEP}
+  AND s.doc_id NOT IN (SELECT id_b FROM near)
+"""
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -417,4 +498,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_topk_bruteforce": QuerySpec(_sim_topk, SIM_TOPK_SQL),
     "sim_lsh_bucket_topk": QuerySpec(_sim_lsh_topk, SIM_LSH_TOPK_SQL),
     "multimodal_meta": QuerySpec(_mm_meta, MM_META_SQL),
+    "embedding_normalize": QuerySpec(_emb_normalize, EMB_NORMALIZE_SQL),
+    "pipeline_corpus_clean": QuerySpec(_corpus_clean, CORPUS_CLEAN_SQL),
 }
