@@ -74,6 +74,27 @@ def test_streaming_sliding_equals_batch(spark):
     assert got == want
 
 
+def test_stateful_running_totals_equals_batch(spark):
+    """applyInPandasWithState custom operator: after draining all input
+    (one availableNow batch), per-user running totals equal the batch
+    groupBy aggregate."""
+    from trackdechets_etl_spark.streaming.events import user_running_totals
+
+    stream = stream_from_parquet(spark, SF_DIR, watermark="2 hours")
+    _drain(user_running_totals(stream), "t_state", mode="update")
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_state").collect()
+    }
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    want = {r.user_id: (r.n, r.s) for r in batch.collect()}
+    assert got == want
+
+
 def test_stream_dedup_drops_duplicate_ids(spark):
     events = read_table(spark, SF_DIR, "events")
     n = events.count()

@@ -111,17 +111,30 @@ SELECT code_s3ic, inst_id, rubrique_alinea FROM (
 """
 
 
-def enrich_installations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Steps 1-3: J1 broadcast enrich → GEREP keep-last + backfill →
-    company name-join fanout + backfill."""
-    inst = FX.installations(spark, sf_dir)
-    etab = FX.etablissements(spark, sf_dir).select("code_s3ic", "nom_ets", "siret")
-    j1 = enrich_left(inst, etab, "code_s3ic").select(
+def enrich_installations_frames(
+    inst: DataFrame,
+    etab: DataFrame,
+    gerep_df: DataFrame,
+    comp: DataFrame,
+    extra_cols: list[str] = ("o_orderkey",),
+) -> DataFrame:
+    """Frame-level siretisation chain — source-agnostic core: callers
+    pass the four domain frames (from parquet fixtures, the reference's
+    headerless CSVs via ``io.read_csv_with_schema``, or JDBC).
+
+    Expected columns:
+    - ``inst``:  code_s3ic, inst_id
+    - ``etab``:  code_s3ic, nom_ets, siret
+    - ``gerep_df``: code_etablissement (no leading zero), numero_siret,
+      annee
+    - ``comp``:  nom, siret_candidate, ``extra_cols``
+    """
+    j1 = enrich_left(inst, etab.select("code_s3ic", "nom_ets", "siret"), "code_s3ic").select(
         "code_s3ic", "inst_id", "nom_ets", "siret"
     )
 
     g = keep_last_by(
-        FX.gerep(spark, sf_dir),
+        gerep_df,
         ["code_etablissement"],
         ["annee", "numero_siret"],
         descending=True,
@@ -137,16 +150,26 @@ def enrich_installations(spark: SparkSession, sf_dir: str) -> DataFrame:
         backfill_if_invalid(F.col("siret"), F.col("gerep_siret")).alias("siret2"),
     )
 
-    comp = FX.company(spark, sf_dir)
     j2 = b1.join(comp, b1.nom_ets == comp.nom, "left")
     return j2.select(
         "code_s3ic",
         "inst_id",
         "nom_ets",
-        "o_orderkey",
+        *extra_cols,
         backfill_if_invalid(F.col("siret2"), F.col("siret_candidate")).alias(
             "siret_final"
         ),
+    )
+
+
+def enrich_installations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steps 1-3 on the driver's fixture tables: J1 broadcast enrich →
+    GEREP keep-last + backfill → company name-join fanout + backfill."""
+    return enrich_installations_frames(
+        FX.installations(spark, sf_dir),
+        FX.etablissements(spark, sf_dir),
+        FX.gerep(spark, sf_dir),
+        FX.company(spark, sf_dir),
     )
 
 

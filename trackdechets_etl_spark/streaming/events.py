@@ -105,6 +105,38 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     return events.dropDuplicatesWithinWatermark(["event_id"])
 
 
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count and value sum, emitted on every update.
+
+    This is the escape hatch for stateful semantics the built-in
+    window/session operators can't express (the reference has nothing
+    like it — designed extension, SURVEY §7/M7). State is one (count,
+    sum) pair per user — O(users) bounded; at scale users partition
+    across the state store. Arrow-batched, per-group pandas.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion into an in-memory table
     using availableNow (processes all available input then stops)."""
