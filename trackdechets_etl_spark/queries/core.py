@@ -176,6 +176,40 @@ def _scalar_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship variant one level up the dimension hierarchy:
+    nation → region rollup (region is 5 rows — broadcast, trivially)."""
+    from trackdechets_etl_spark.plans.flagship import revenue_by_nation
+
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    per_nation = revenue_by_nation(spark, sf_dir)
+    return (
+        per_nation.join(F.broadcast(nation.select("n_name", "n_regionkey")), "n_name")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.sum("n_items").alias("n_items"),
+        )
+    )
+
+
+def _supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension stats over supplier ⨝ nation: per-nation supplier
+    count and average balance."""
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
 def _projection_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2: explicit projection then column drop (reference
     dags/icpe-siretisation.py:93-94,133,141 and :258,276,295 — manual
@@ -306,6 +340,25 @@ FROM (SELECT code_s3ic, max(siret) AS siret FROM etab GROUP BY code_s3ic)
 
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue_by_nation": QuerySpec(revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "flagship_revenue_by_region": QuerySpec(
+        _revenue_by_region,
+        f"""WITH per_nation AS ({REVENUE_BY_NATION_SQL})
+        SELECT r_name,
+               round(sum(revenue), 2) AS revenue,
+               CAST(sum(n_items) AS BIGINT) AS n_items
+        FROM per_nation
+        JOIN nation USING (n_name)
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
+    ),
+    "agg_supplier_balance": QuerySpec(
+        _supplier_balance,
+        """SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               round(avg(s_acctbal), 4) AS avg_balance
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name""",
+    ),
     "projection_drop": QuerySpec(
         _projection_drop, "SELECT c_custkey, c_name FROM customer"
     ),
