@@ -135,6 +135,46 @@ def lsh_bucket_topk(
     )
 
 
+def label_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-label centroid via ``applyInPandas`` (grouped-map) — the IVF
+    coarse-quantizer build step, and the engine's demonstration of the
+    sanctioned Python path for custom numeric group operators: Arrow
+    batches, one pandas frame per group, numpy inside.
+
+    Rows are summed in ``id_col`` order (sorted inside the group) so the
+    float result is deterministic regardless of shuffle arrival order —
+    required for the value-hash oracle, and good hygiene anyway.
+    """
+    import functools
+
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        arrays = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        total = functools.reduce(np.add, arrays)  # sequential, ordered
+        c = np.round(total / len(arrays), round_to)
+        return pd.DataFrame(
+            {
+                label_col: [pdf[label_col].iloc[0]],
+                "n_vectors": [len(arrays)],
+                "centroid": [c.tolist()],
+            }
+        )
+
+    return emb.groupBy(label_col).applyInPandas(
+        centroid,
+        schema=f"{label_col} int, n_vectors long, centroid array<double>",
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     id_col: str,

@@ -210,6 +210,42 @@ def _supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic ranking (revenue desc, key asc) — the
+    ORDER BY + LIMIT shape the reference never needed, expressed as a
+    rank window so the selected set is engine-stable."""
+    from pyspark.sql.window import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("o_custkey", "revenue", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping over the region→nation hierarchy (subtotal and
+    grand-total rows carry nulls) — multi-level aggregation in one pass."""
+    from trackdechets_etl_spark.plans.flagship import revenue_by_nation
+
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    per_nation = (
+        revenue_by_nation(spark, sf_dir)
+        .join(F.broadcast(nation.select("n_name", "n_regionkey")), "n_name")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return per_nation.rollup("r_name", "n_name").agg(
+        F.round(F.sum("revenue"), 2).alias("revenue"),
+        F.sum("n_items").alias("n_items"),
+    )
+
+
 def _projection_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/P2: explicit projection then column drop (reference
     dags/icpe-siretisation.py:93-94,133,141 and :258,276,295 — manual
@@ -340,6 +376,28 @@ FROM (SELECT code_s3ic, max(siret) AS siret FROM etab GROUP BY code_s3ic)
 
 QUERIES: dict[str, QuerySpec] = {
     "flagship_revenue_by_nation": QuerySpec(revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "agg_top_customers": QuerySpec(
+        _top_customers,
+        """SELECT o_custkey, revenue, CAST(rank AS BIGINT) AS rank FROM (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,
+                   row_number() OVER (
+                       ORDER BY round(sum(o_totalprice), 2) DESC, o_custkey ASC) AS rank
+            FROM orders GROUP BY o_custkey)
+        WHERE rank <= 10""",
+    ),
+    "agg_revenue_rollup": QuerySpec(
+        _revenue_rollup,
+        f"""WITH per_nation AS ({REVENUE_BY_NATION_SQL}),
+        joined AS (
+            SELECT r_name, per_nation.n_name AS n_name, revenue, n_items
+            FROM per_nation
+            JOIN nation USING (n_name)
+            JOIN region ON n_regionkey = r_regionkey)
+        SELECT r_name, n_name,
+               round(sum(revenue), 2) AS revenue,
+               CAST(sum(n_items) AS BIGINT) AS n_items
+        FROM joined GROUP BY ROLLUP (r_name, n_name)""",
+    ),
     "flagship_revenue_by_region": QuerySpec(
         _revenue_by_region,
         f"""WITH per_nation AS ({REVENUE_BY_NATION_SQL})

@@ -76,7 +76,36 @@ FROM g GROUP BY user_id, sess
 """
 
 
+def _moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user moving average over the last 3 events (ordered by ts,
+    event_id) — the lag/rolling-window shape for event features."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_moving_avg": QuerySpec(_moving_avg, MOVING_AVG_SQL),
     "events_tumbling_hourly": QuerySpec(_tumbling, TUMBLING_SQL),
     "events_sliding_window": QuerySpec(_sliding, SLIDING_SQL),
     "events_session_window": QuerySpec(_session, SESSION_SQL),

@@ -450,6 +450,28 @@ WHERE s.quality_score >= {QUALITY_KEEP}
 """
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer build: per-label centroid via applyInPandas
+    (the engine's grouped-map Python path — see llm/similarity.py)."""
+    from trackdechets_etl_spark.llm.similarity import label_centroids
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return label_centroids(e, "vec_id", "embedding", "label")
+
+
+LABEL_CENTROIDS_SQL = """
+WITH x AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+per_dim AS (
+    SELECT label, i, round(avg(v[i]), 4) AS a
+    FROM x, unnest(generate_series(1, 64)) AS u(i)
+    GROUP BY label, i),
+counts AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM x GROUP BY label)
+SELECT label, n_vectors, list(a ORDER BY i) AS centroid
+FROM per_dim JOIN counts USING (label)
+GROUP BY label, n_vectors
+"""
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -499,5 +521,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_lsh_bucket_topk": QuerySpec(_sim_lsh_topk, SIM_LSH_TOPK_SQL),
     "multimodal_meta": QuerySpec(_mm_meta, MM_META_SQL),
     "embedding_normalize": QuerySpec(_emb_normalize, EMB_NORMALIZE_SQL),
+    "embedding_label_centroids": QuerySpec(_label_centroids, LABEL_CENTROIDS_SQL),
     "pipeline_corpus_clean": QuerySpec(_corpus_clean, CORPUS_CLEAN_SQL),
 }
