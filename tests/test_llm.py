@@ -136,6 +136,18 @@ def test_multimodal_plumbing(spark):
     assert offsets[1] == [0]  # 1-byte payload -> single frame
 
 
+def test_multimodal_kind_metadata(spark):
+    from trackdechets_etl_spark.llm.multimodal import with_kind_metadata
+
+    df = spark.createDataFrame([(0, "hello world"), (1, "x")], ["doc_id", "text"])
+    mm = with_kind_metadata(with_payload(df, "text", "doc_id"))
+    rows = {r.doc_id: r for r in mm.collect()}
+    assert rows[0].meta.width == 11 and rows[0].meta.height == 11  # image
+    assert rows[0].meta.duration_ms is None
+    assert rows[1].meta.duration_ms == 10  # audio, n_bytes=1
+    assert rows[1].meta.width is None
+
+
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_payload(b"xx", "image", fake=False)

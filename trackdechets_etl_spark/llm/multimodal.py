@@ -110,6 +110,22 @@ def decode_features(df: DataFrame, fake: bool = True, batch_hint: int = 1024) ->
     )
 
 
+def with_kind_metadata(df: DataFrame) -> DataFrame:
+    """Typed per-kind metadata struct alongside the payload — the
+    columns partitioning/filters run on so the binary never moves for a
+    metadata-only query. Values are deterministic stand-ins derived from
+    n_bytes (no real decoders in this container); a real pipeline fills
+    them in the decode step."""
+    n = F.col("n_bytes")
+    meta = F.struct(
+        F.when(F.col("mm_kind") == "image", n % 1920).cast("long").alias("width"),
+        F.when(F.col("mm_kind") == "image", n % 1080).cast("long").alias("height"),
+        F.when(F.col("mm_kind") == "audio", n * 10).cast("long").alias("duration_ms"),
+        F.when(F.col("mm_kind") == "video", n / 100 + 1).cast("long").alias("n_frames"),
+    )
+    return df.withColumn("meta", meta)
+
+
 def frame_sample_offsets(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing for video payloads: evenly-spaced byte
     offsets (stand-in for frame indices), computed JVM-side. A real
