@@ -1,0 +1,61 @@
+"""Storage-layout tests: the two write-time layouts that buy plan-time
+wins at scale — bucketing (shuffle-free co-located joins) and partition
+pruning (scan only the partitions a filter selects). Asserted on the
+physical plans, not just the results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.io.writers import write_bucketed, write_parquet
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """orders ⨝ lineitem on the order key, both bucketed on it: the
+    sort-merge join must read bucket-aligned and skip both exchanges."""
+    orders = read_table(spark, SF_DIR, "orders")
+    lineitem = read_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", n_buckets=4)
+    write_bucketed(lineitem, "t_lineitem_b", "l_orderkey", n_buckets=4)
+    try:
+        # disable broadcast so the join strategy is the bucket-aware SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_lineitem_b").join(
+            spark.table("t_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketing did not avoid the shuffle"
+        # results still correct
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partition_pruning_on_event_date(spark, tmp_path):
+    """events written partitioned by event date: a one-day filter must
+    prune at planning time (PartitionFilters), not scan-and-discard."""
+    events = read_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_partitioned")
+    write_parquet(events, out, partition_by=["event_date"])
+
+    df = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-05")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    # correctness: same rows as filtering the unpartitioned source
+    want = events.filter(F.to_date("ts") == "2024-01-05").count()
+    assert df.count() == want and want > 0

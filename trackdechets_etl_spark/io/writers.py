@@ -28,6 +28,26 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-bucketed on the join key at
+    write time, so equi-joins (and groupBys) between tables bucketed on
+    the same key and count run WITHOUT a shuffle — the pre-paid-shuffle
+    layout for fact-fact joins at 100 TB (the broadcast escape hatch
+    only works while one side stays dim-sized). Requires saveAsTable
+    (bucket metadata lives in the catalog)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """S8: CSV sink (reference ``dags/publish-open-data.py:58``)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
