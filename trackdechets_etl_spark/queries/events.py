@@ -104,7 +104,62 @@ FROM events
 """
 
 
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users who both clicked and purchased (INTERSECT)
+    vs clicked-only (EXCEPT), tagged and unioned."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clicks.intersect(buys).withColumn("op", F.lit("both"))
+    click_only = clicks.subtract(buys).withColumn("op", F.lit("click_only"))
+    return both.unionAll(click_only)
+
+
+SET_OPS_SQL = """
+SELECT user_id, 'both' AS op FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'click_only' AS op FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per event
+    type (explicit value list → deterministic schema, single pass)."""
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_set_ops": QuerySpec(_set_ops, SET_OPS_SQL),
+    "events_pivot_counts": QuerySpec(_pivot_counts, PIVOT_SQL),
     "events_moving_avg": QuerySpec(_moving_avg, MOVING_AVG_SQL),
     "events_tumbling_hourly": QuerySpec(_tumbling, TUMBLING_SQL),
     "events_sliding_window": QuerySpec(_sliding, SLIDING_SQL),
