@@ -175,6 +175,73 @@ def label_centroids(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_ids_max: int,
+    k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k with ``nprobe=1``:
+
+    1. coarse quantizer: one centroid per ``label_col`` partition
+       (``label_centroids`` — the IVF list assignment is given by the
+       label here; a production build would k-means its own lists);
+    2. route each query to its nearest centroid by cosine (centroid set
+       is tiny → broadcast, rank key rounded to 9dp with label-asc
+       tie-break for engine-stable argmax);
+    3. scan ONLY that list for candidates and rank top-k with the same
+       key as the exact variant.
+
+    At 100 TB the corpus is written partitioned by list id, so step 3 is
+    partition pruning — each query reads corpus/n_lists, not the corpus.
+    """
+    cents = label_centroids(emb, id_col, vec_col, label_col).select(
+        F.col(label_col).alias("__list"), F.col("centroid")
+    )
+    q = emb.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    routed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_vec",
+            "__list",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("__rcos"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("__rcos"), 9).desc(), F.col("__list").asc()
+    )
+    assigned = (
+        routed.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select("q_id", "q_vec", "__list")
+    )
+    c = emb.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("__list"),
+    )
+    scored = (
+        F.broadcast(assigned)
+        .join(c, "__list")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     id_col: str,

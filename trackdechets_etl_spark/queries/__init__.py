@@ -25,10 +25,10 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from trackdechets_etl_spark.queries import core, events, llm
+    from trackdechets_etl_spark.queries import advanced, core, events, llm
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events):
+    for mod in (core, llm, events, advanced):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,367 @@
+"""Advanced relational extensions beyond the reference's §2 surface:
+temporal joins (as-of, range), explicit semi/anti split, exact
+quantiles, CUBE grouping, deterministic hash sampling, histogram
+binning, IVF similarity search, and n-gram frequency ranking.
+
+The reference (MTES-MCT/trackdechets-etl) has none of these — its joins
+are single-key equi-joins (``dags/icpe-siretisation.py:175,243,285,311``)
+and its only aggregation shapes are counts/dedups (SURVEY §2.3–2.5).
+These are the operators a 100 TB training-data pipeline needs on top,
+each with a DuckDB oracle so the driver's hash gate covers them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.llm.similarity import ivf_topk
+from trackdechets_etl_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+    semi_anti_split,
+)
+from trackdechets_etl_spark.queries import QuerySpec
+
+# --------------------------------------------------------------- as-of join
+
+
+def _join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the user's latest view event at or
+    before it (the classic attribution as-of). Union-trick: one shuffle
+    on user_id, no key+range fanout."""
+    events = read_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["value", "event_id"],
+        tie_col="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("view_ts"),
+        F.col("asof_value").alias("view_value"),
+        F.col("asof_event_id").alias("view_id"),
+    )
+
+
+JOIN_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'view'),
+j AS (
+    SELECT p.event_id AS purchase_id, v.ts, v.value, v.event_id AS view_id,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC) AS rn
+    FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts)
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       j.ts AS view_ts, j.value AS view_value, j.view_id
+FROM p LEFT JOIN j ON j.purchase_id = p.event_id AND j.rn = 1
+"""
+
+
+# --------------------------------------------------------------- range join
+
+RANGE_HOURS = 1
+BUCKET_SECONDS = RANGE_HOURS * 3600
+
+
+def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Follow-on activity window: for each signup event, count the same
+    user's events within [signup_ts, signup_ts + 1h). Time-bucketed
+    equi-join on (key, bucket) + exact residual filter — per-row join
+    work bounded by interval/bucket_width, not by key cardinality."""
+    events = read_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    acts = events.select("user_id", "ts", "value", "event_id")
+    joined = range_join_bucketed(
+        signups,
+        acts,
+        left_key="s_user",
+        right_key="user_id",
+        left_start=F.col("signup_ts"),
+        left_end=F.col("signup_ts") + F.expr(f"INTERVAL {RANGE_HOURS} HOURS"),
+        right_ts="ts",
+        bucket_seconds=BUCKET_SECONDS,
+    ).filter(F.col("event_id") != F.col("signup_id"))
+    return joined.groupBy("signup_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+JOIN_RANGE_SQL = f"""
+WITH s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+           FROM events WHERE event_type = 'signup')
+SELECT s.signup_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM s JOIN events e ON e.user_id = s.user_id
+  AND e.ts >= s.signup_ts
+  AND e.ts < s.signup_ts + INTERVAL '{RANGE_HOURS} hours'
+  AND e.event_id <> s.signup_id
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------- semi/anti split
+
+
+def _join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers split into with-orders / without-orders via left-semi
+    and left-anti joins (generalizes J5's existence flag)."""
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi, anti = semi_anti_split(customer, orders, "c_custkey")
+    return semi.unionByName(anti)
+
+
+JOIN_SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name, 'present' AS membership FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, c_name, 'absent' AS membership FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# ------------------------------------------------------------ exact quantiles
+
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def _agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag
+    (Spark ``percentile`` — sort-based exact, linear interpolation,
+    matching DuckDB ``quantile_cont``). At 100 TB swap to
+    ``approx_percentile`` (t-digest) — same call shape."""
+    li = read_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.percentile("l_extendedprice", F.lit(q)), 4).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in QUANTILES
+    ]
+    return li.groupBy("l_returnflag").agg(*aggs)
+
+
+AGG_QUANTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY 1
+"""
+
+
+# -------------------------------------------------------------------- cube
+
+
+def _agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    pass (Spark expands to a union of partial aggregates map-side;
+    one shuffle). Null grouping keys are disambiguated to 'ALL'."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ------------------------------------------------- deterministic hash sample
+
+
+def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/8 sample: keep rows whose md5(orderkey_linenumber)
+    starts with hex 0 or 1, then aggregate per return flag. Unlike
+    ``df.sample()``, the predicate is engine-independent (same rows in
+    any engine, any partitioning) — the right way to carve reproducible
+    subsets of a 100 TB corpus. The filter is a pure projection-side
+    expression: fully codegen'd, no shuffle before the aggregate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws(
+            "_",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return (
+        li.filter(F.substring(h, 1, 1).isin("0", "1"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SAMPLE_HASH_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE substr(md5(concat(CAST(l_orderkey AS VARCHAR), '_',
+                        CAST(l_linenumber AS VARCHAR))), 1, 1) IN ('0', '1')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- histogram
+
+HIST_BIN_WIDTH = 50000.0
+
+
+def _agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bin id via floor division
+    (identical arithmetic in any engine), count + bounds per bin."""
+    o = read_table(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH)
+    return o.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+AGG_HISTOGRAM_SQL = f"""
+SELECT CAST(floor(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- IVF search
+
+IVF_QUERY_IDS = 10
+EMB_DIMS = 64
+
+
+def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(e, "vec_id", "embedding", "label", IVF_QUERY_IDS, k=5)
+    return out.select(
+        "q_id", "c_id", F.col("rank").cast("long").alias("rank"), "cos_sim"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+SIM_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+per_dim AS (
+    SELECT label, i, round(avg(v[i]), 4) AS a
+    FROM e, unnest(generate_series(1, {EMB_DIMS})) AS u(i)
+    GROUP BY label, i),
+cent AS (SELECT label, list(a ORDER BY i) AS cvec FROM per_dim GROUP BY label),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {IVF_QUERY_IDS}),
+routed AS (
+    SELECT q_id, qv, label, {_cos_sql('qv', 'cvec')} AS rcos FROM q, cent),
+assigned AS (
+    SELECT q_id, qv, label FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY round(rcos, 9) DESC, label ASC) AS rn
+        FROM routed) WHERE rn = 1),
+scored AS (
+    SELECT a.q_id, c.vec_id AS c_id, {_cos_sql('a.qv', 'c.v')} AS cos
+    FROM assigned a JOIN e c ON c.label = a.label AND c.vec_id <> a.q_id),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY round(cos, 9) DESC, c_id ASC) AS rank
+    FROM scored)
+SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank, round(cos, 6) AS cos_sim
+FROM r WHERE rank <= 5
+"""
+
+
+# ----------------------------------------------------------- top bigrams
+
+TOP_NGRAMS = 20
+
+
+def _text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams. The count is a distributed
+    hash aggregate; the final top-k is a TakeOrdered over the (small)
+    vocabulary — no global sort of the corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(TOP_NGRAMS)
+    )
+
+
+TEXT_TOP_BIGRAMS_SQL = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+bg AS (
+    SELECT array_to_string(w[i:i+1], ' ') AS bigram
+    FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+    WHERE len(w) >= 2)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY 1
+ORDER BY n DESC, bigram ASC LIMIT {TOP_NGRAMS}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "join_asof_events": QuerySpec(_join_asof, JOIN_ASOF_SQL),
+    "join_range_events": QuerySpec(_join_range, JOIN_RANGE_SQL),
+    "join_semi_anti": QuerySpec(_join_semi_anti, JOIN_SEMI_ANTI_SQL),
+    "agg_quantiles": QuerySpec(_agg_quantiles, AGG_QUANTILES_SQL),
+    "agg_cube": QuerySpec(_agg_cube, AGG_CUBE_SQL),
+    "sample_hash_deterministic": QuerySpec(_sample_hash, SAMPLE_HASH_SQL),
+    "agg_histogram": QuerySpec(_agg_histogram, AGG_HISTOGRAM_SQL),
+    "sim_ivf_topk": QuerySpec(_sim_ivf, SIM_IVF_SQL),
+    "text_top_bigrams": QuerySpec(_text_top_bigrams, TEXT_TOP_BIGRAMS_SQL),
+}
