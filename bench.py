@@ -38,6 +38,12 @@ HEADLINE = [
     "sim_lsh_bucket_topk",
     "text_quality_score",
     "text_fingerprint",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "window_suite",
+    "join_asof_events",
+    "sim_ivf_topk",
 ]
 
 

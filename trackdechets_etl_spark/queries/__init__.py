@@ -25,10 +25,10 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from trackdechets_etl_spark.queries import advanced, core, events, llm
+    from trackdechets_etl_spark.queries import advanced, analytics, core, events, llm
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events, advanced):
+    for mod in (core, llm, events, advanced, analytics):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

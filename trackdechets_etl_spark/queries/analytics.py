@@ -1,0 +1,324 @@
+"""Analytical SQL surface: TPC-H-shaped benchmark queries, the window-
+function suite, date/string scalar coverage, JSON extraction, and a
+correlated-EXISTS subquery via ``spark.sql``.
+
+The reference's SQL surface is limited to hand-written SELECT lists
+pushed to Postgres (``dags/icpe-siretisation.py:230-233``,
+``dags/publish-open-data.py:26-30``); everything here is extension
+coverage proving the engine answers the standard analytics shapes a
+warehouse user expects, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.queries import QuerySpec
+
+# ----------------------------------------------------------- TPC-H Q1 shape
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): one scan, map-side partial
+    aggregation, tiny result. The canonical whole-stage-codegen
+    benchmark — no Python anywhere in the hot path."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------- TPC-H Q3 shape
+
+
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 open-order revenue (TPC-H Q3 shape): two broadcast-able
+    dims against the lineitem fact, aggregate, TakeOrdered(10) — the
+    final sort never materializes the full group set on one node."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------------- TPC-H Q6 shape
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue delta (TPC-H Q6 shape): pure scan-filter-sum.
+    Every predicate reaches the parquet reader as a pushed filter."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# -------------------------------------------------------- window-fn suite
+
+
+def _window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: row_number / rank / lag / lead /
+    running sum / ntile in one pass over a single window partition
+    spec — one shuffle on o_custkey serves all six functions."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wdate = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc())
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wdate).cast("long").alias("rnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(wrun), 2).alias("running_total"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+WINDOW_SUITE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC) AS BIGINT) AS rnk,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       round(sum(o_totalprice) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# ------------------------------------------------------------ date functions
+
+
+def _date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition per order: year/quarter/month/day,
+    month truncation, day-delta from epoch date — all codegen'd
+    datetime expressions (C7/C8 generalized)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    )
+
+
+DATE_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+       CAST(extract(day FROM o_orderdate) AS BIGINT) AS d,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95
+FROM orders
+"""
+
+
+# ---------------------------------------------------------- string functions
+
+
+def _string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar coverage over customer names: case, slice, pad,
+    reverse, replace, search, edit distance — the C1-C3 family
+    generalized to the full warehouse string toolkit."""
+    c = read_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.substring(name, 1, 8).alias("name_prefix"),
+        F.length(name).cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse(name).alias("reversed_name"),
+        F.regexp_replace(name, "#", "-").alias("dashed_name"),
+        F.instr(name, "#").cast("long").alias("hash_pos"),
+        F.levenshtein(name, F.lit("Customer#000000001")).cast("long").alias(
+            "edit_dist"
+        ),
+    )
+
+
+STRING_FUNCTIONS_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       lower(c_name) AS lower_name,
+       substring(c_name, 1, 8) AS name_prefix,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       reverse(c_name) AS reversed_name,
+       replace(c_name, '#', '-') AS dashed_name,
+       CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+       CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS edit_dist
+FROM customer
+"""
+
+
+# ------------------------------------------------------------ JSON extract
+
+
+def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the semi-structured ``props`` JSON column with a declared
+    schema (``from_json`` — no inference, JVM-side parser) and
+    aggregate the extracted field per event type."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(props->>'k' AS INT)), 6) AS avg_k
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- EXISTS subquery
+
+
+def _exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the engine's SQL front door
+    (``spark.sql`` — Catalyst decorrelates to a left-semi join):
+    orders having at least one high-quantity line, counted by
+    priority. TPC-H Q4 shape."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders_v o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem_v l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+EXISTS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tpch_q1_pricing_summary": QuerySpec(_q1_pricing_summary, Q1_SQL),
+    "tpch_q3_shipping_priority": QuerySpec(_q3_shipping_priority, Q3_SQL),
+    "tpch_q6_forecast_revenue": QuerySpec(_q6_forecast_revenue, Q6_SQL),
+    "window_suite": QuerySpec(_window_suite, WINDOW_SUITE_SQL),
+    "date_functions": QuerySpec(_date_functions, DATE_FUNCTIONS_SQL),
+    "string_functions": QuerySpec(_string_functions, STRING_FUNCTIONS_SQL),
+    "json_extract_events": QuerySpec(_json_extract, JSON_EXTRACT_SQL),
+    "exists_subquery": QuerySpec(_exists_subquery, EXISTS_SQL),
+}
