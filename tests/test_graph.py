@@ -1,0 +1,31 @@
+"""Connected-components correctness on hand-built graphs: multi-hop
+chains (forcing several propagation rounds), multiple components,
+singletons, and the canonical-flag contract of dedup_clusters.
+"""
+
+from __future__ import annotations
+
+from trackdechets_etl_spark.operators.graph import connected_components, dedup_clusters
+
+
+def test_cc_chain_needs_multiple_rounds(spark):
+    # 5-node path 10-11-12-13-14: min label must travel 4 hops.
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21)], "id_a long, id_b long"
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert labels == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_singletons_and_canonicals(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert out[0]["cluster_id"] == 0 and out[3]["cluster_id"] == 0
+    assert out[5]["cluster_id"] == 0 and out[5]["cluster_size"] == 3
+    assert out[1]["cluster_id"] == 1 and out[1]["cluster_size"] == 1
+    canonicals = sorted(k for k, r in out.items() if r["is_canonical"])
+    assert canonicals == [0, 1, 2, 4]

@@ -1,0 +1,93 @@
+"""Connected components over a pair list — the cluster step that turns
+near-duplicate PAIRS (MinHash/Jaccard/SimHash output) into duplicate
+GROUPS with one canonical representative per group.
+
+Iterative min-label propagation, pure DataFrame ops:
+
+- labels start as the node id; each round every node takes the min of
+  its own label and its neighbors' labels — labels are monotonically
+  non-increasing, so the sum of labels is a convergence metric that
+  needs no row-level diff join;
+- each round is ONE shuffle (join on the edge endpoint + groupBy min);
+  rounds needed = graph diameter, which for near-dup clusters is tiny
+  (dup groups are near-cliques, typically diameter ≤ 2-3);
+- ``localCheckpoint`` truncates lineage each round: without it the plan
+  doubles per iteration and the driver chokes on analysis long before
+  the executors do — the standard iterative-algorithm discipline
+  (GraphFrames' CC does the same with its large-star/small-star
+  variant, which we'd switch to if diameters were large).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Label each node that appears in ``pairs`` with the minimum node
+    id reachable from it (its component id). Returns (node, label).
+    ``pairs`` may list each undirected edge once; it is symmetrized.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Full clustering of a corpus given its near-dup pairs: every doc
+    gets a cluster_id (min doc id in its component; docs in no pair are
+    singleton clusters of themselves), the cluster size, and an
+    ``is_canonical`` flag marking the kept representative. Downstream,
+    ``filter(is_canonical)`` IS the dedup."""
+    comp = connected_components(pairs, pair_a, pair_b).select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    labeled = docs.select(id_col).join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )

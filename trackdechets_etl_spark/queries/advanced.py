@@ -354,7 +354,80 @@ ORDER BY n DESC, bigram ASC LIMIT {TOP_NGRAMS}
 """
 
 
+# -------------------------------------------------------- dedup clustering
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → one canonical doc per
+    cluster. The step that turns pair output into an actual dedup."""
+    from trackdechets_etl_spark.llm.dedup import ngram_jaccard_pairs
+    from trackdechets_etl_spark.operators.graph import dedup_clusters
+    from trackdechets_etl_spark.queries.llm import JACCARD_THRESHOLD
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+    return dedup_clusters(d, pairs, "doc_id")
+
+
+def _dedup_clusters_sql() -> str:
+    from trackdechets_etl_spark.queries.llm import _SHINGLES, JACCARD_THRESHOLD
+
+    return f"""
+WITH RECURSIVE {_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+    UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+allc AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)),
+szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM allc GROUP BY 1)
+SELECT doc_id, cluster_id, cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM allc JOIN szs USING (cluster_id)
+"""
+
+
+# ----------------------------------------------------------------- unpivot
+
+
+def _unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long melt of three lineitem measures (``DataFrame.unpivot``
+    — codegen'd Expand node, no shuffle at all)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_clusters": QuerySpec(_dedup_clusters, _dedup_clusters_sql()),
+    "unpivot_measures": QuerySpec(_unpivot_measures, UNPIVOT_SQL),
     "join_asof_events": QuerySpec(_join_asof, JOIN_ASOF_SQL),
     "join_range_events": QuerySpec(_join_range, JOIN_RANGE_SQL),
     "join_semi_anti": QuerySpec(_join_semi_anti, JOIN_SEMI_ANTI_SQL),
