@@ -47,6 +47,32 @@ def test_keep_last_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, "rank pushdown missing from keep-last window"
 
 
+def test_q3_broadcasts_dims_and_pushes_filters(spark):
+    plan = _plan(REGISTRY["tpch_q3_shipping_priority"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, "Q3 dims not broadcast"
+    assert "SortMergeJoin" not in plan, "Q3 shuffled a join it should broadcast"
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400], (
+        "Q3 lineitem date filter not pushed to scan"
+    )
+
+
+def test_q6_pushes_all_filters_to_scan(spark):
+    plan = _plan(REGISTRY["tpch_q6_forecast_revenue"].fn(spark, SF_DIR))
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"Q6 {col} filter not pushed to parquet scan"
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    plan = _plan(REGISTRY["join_asof_events"].fn(spark, SF_DIR))
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan.split("Window")[0], (
+        "as-of should be union+window, not a join"
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1, (
+        "as-of union trick should shuffle once on the key"
+    )
+
+
 def test_siretisation_joins_all_broadcast(spark):
     plan = _plan(REGISTRY["pipeline_siretisation_enriched"].fn(spark, SF_DIR))
     assert plan.count("SortMergeJoin") == 0, "unexpected shuffle join in enrich chain"

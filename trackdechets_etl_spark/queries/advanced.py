@@ -425,9 +425,103 @@ SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 """
 
 
+# ------------------------------------------------------------ null-safe join
+
+
+def _join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>``): flag summaries joined so the
+    NULL group (flag 'N' nulled out via nullif) matches itself — plain
+    equality would drop it. Spark ``eqNullSafe`` ↔ ANSI
+    ``IS NOT DISTINCT FROM``."""
+    li = read_table(spark, sf_dir, "lineitem")
+    flag = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    left = li.groupBy(flag.alias("flag")).agg(F.count("*").alias("n_all"))
+    right = (
+        li.filter(F.col("l_quantity") > 25)
+        .groupBy(flag.alias("flag2"))
+        .agg(F.count("*").alias("n_high"))
+    )
+    return left.join(
+        right, left["flag"].eqNullSafe(right["flag2"]), "left"
+    ).select("flag", "n_all", "n_high")
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH l AS (
+    SELECT nullif(l_returnflag, 'N') AS flag, CAST(count(*) AS BIGINT) AS n_all
+    FROM lineitem GROUP BY 1),
+r AS (
+    SELECT nullif(l_returnflag, 'N') AS flag2, CAST(count(*) AS BIGINT) AS n_high
+    FROM lineitem WHERE l_quantity > 25 GROUP BY 1)
+SELECT flag, n_all, n_high
+FROM l LEFT JOIN r ON flag IS NOT DISTINCT FROM flag2
+"""
+
+
+# -------------------------------------------------------- conditional aggs
+
+
+def _agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (SQL FILTER clause ↔ sum(CASE WHEN)):
+    conditional counts/sums computed in the same single-pass aggregate
+    as the unconditional ones — no extra scan per condition."""
+    li = read_table(spark, sf_dir, "lineitem")
+    high_qty = F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+    disc_price = F.when(
+        F.col("l_discount") > 0.05, F.col("l_extendedprice")
+    ).otherwise(F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.sum(high_qty).cast("long").alias("n_high_qty"),
+        F.round(F.sum(disc_price), 2).alias("sum_discounted_price"),
+    )
+
+
+AGG_CONDITIONAL_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_high_qty,
+       round(coalesce(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 0),
+             2) AS sum_discounted_price
+FROM lineitem GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- sorted array agg
+
+
+def _agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: per market segment, the sorted
+    distinct list of order priorities. ``collect_set`` arrival order is
+    nondeterministic after a shuffle — ``array_sort`` makes the result
+    engine-stable (same discipline as A1's explicit window ordering)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+AGG_COLLECT_SORTED_SQL = """
+SELECT c_mktsegment,
+       list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(_dedup_clusters, _dedup_clusters_sql()),
     "unpivot_measures": QuerySpec(_unpivot_measures, UNPIVOT_SQL),
+    "join_null_safe": QuerySpec(_join_null_safe, JOIN_NULL_SAFE_SQL),
+    "agg_conditional": QuerySpec(_agg_conditional, AGG_CONDITIONAL_SQL),
+    "agg_collect_sorted": QuerySpec(_agg_collect_sorted, AGG_COLLECT_SORTED_SQL),
     "join_asof_events": QuerySpec(_join_asof, JOIN_ASOF_SQL),
     "join_range_events": QuerySpec(_join_range, JOIN_RANGE_SQL),
     "join_semi_anti": QuerySpec(_join_semi_anti, JOIN_SEMI_ANTI_SQL),
