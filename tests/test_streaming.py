@@ -109,3 +109,26 @@ def test_stream_dedup_drops_duplicate_ids(spark):
     deduped = stream_dedup(stream)
     _drain(deduped.select("event_id"), "t_dedup", mode="append")
     assert spark.sql("SELECT count(*) c FROM t_dedup").collect()[0].c == n
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    from trackdechets_etl_spark.streaming.events import stream_enrich
+
+    users = (
+        read_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("long"))
+    )
+    stream = stream_from_parquet(spark, SF_DIR, watermark="1 hour")
+    enriched = stream_enrich(stream, users, "user_id").select(
+        "event_id", "user_id", "segment"
+    )
+    _drain(enriched, "t_enrich", mode="append")
+    got = {
+        (r.event_id, r.segment)
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    batch = stream_enrich(read_table(spark, SF_DIR, "events"), users, "user_id")
+    want = {(r.event_id, r.segment) for r in batch.select("event_id", "segment").collect()}
+    assert got == want

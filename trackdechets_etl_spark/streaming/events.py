@@ -105,6 +105,15 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     return events.dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_enrich(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table
+    (the streaming twin of J1's broadcast enrich). The static side is
+    re-read per micro-batch by the engine; broadcast keeps the stream
+    side from shuffling. Only inner/left joins with the static side on
+    the right are stream-legal — exactly this shape."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user event count and value sum, emitted on every update.
