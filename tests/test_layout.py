@@ -59,3 +59,31 @@ def test_partition_pruning_on_event_date(spark, tmp_path):
     # correctness: same rows as filtering the unpartitioned source
     want = events.filter(F.to_date("ts") == "2024-01-05").count()
     assert df.count() == want and want > 0
+
+
+def test_ivf_layout_prunes_label_partitions(spark, tmp_path):
+    """The IVF scale path: corpus written partitioned by list id, a
+    probe reads only its list's partition (partition pruning, not a
+    full scan)."""
+    from trackdechets_etl_spark.io.readers import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "emb_by_label")
+    e.write.partitionBy("label").mode("overwrite").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("label") == 3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(label" in plan or "label#" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], "label filter not applied as a partition filter"
+    n_label = e.filter(F.col("label") == 3).count()
+    assert probe.count() == n_label
+
+
+def test_register_views_sql_front_door(spark):
+    from trackdechets_etl_spark.io.readers import register_views
+
+    register_views(spark, SF_DIR)
+    out = spark.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()
+    assert out[0]["n"] > 0

@@ -131,3 +131,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+ALL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL front door: register every corpus table as a temp view so
+    users run plain ``spark.sql(...)`` — the engine-level equivalent of
+    the reference handing analysts raw Postgres access
+    (``dags/publish-open-data.py:26-30``). Views are lazy; nothing is
+    scanned until a query runs against it."""
+    for name in ALL_TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

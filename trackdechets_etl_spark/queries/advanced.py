@@ -516,8 +516,45 @@ GROUP BY 1
 """
 
 
+# -------------------------------------------------------- array statistics
+
+
+def _embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector statistics via higher-order functions (transform/
+    aggregate/array_min/array_max) — all JVM expressions inside
+    whole-stage codegen, zero Python in the loop."""
+    from trackdechets_etl_spark.llm.similarity import as_double, dot
+
+    e = read_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+        F.round(F.array_min(v), 6).alias("min_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+    )
+
+
+EMBEDDING_ARRAY_STATS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS BIGINT) AS n_dims,
+       round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+       round(list_aggregate(v, 'sum') / len(v), 6) AS mean_val,
+       round(list_aggregate(v, 'min'), 6) AS min_val,
+       round(list_aggregate(v, 'max'), 6) AS max_val
+FROM e
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(_dedup_clusters, _dedup_clusters_sql()),
+    "embedding_array_stats": QuerySpec(
+        _embedding_array_stats, EMBEDDING_ARRAY_STATS_SQL
+    ),
     "unpivot_measures": QuerySpec(_unpivot_measures, UNPIVOT_SQL),
     "join_null_safe": QuerySpec(_join_null_safe, JOIN_NULL_SAFE_SQL),
     "agg_conditional": QuerySpec(_agg_conditional, AGG_CONDITIONAL_SQL),

@@ -312,8 +312,46 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------- TPC-H Q14 shape
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share (TPC-H Q14 shape): date-filtered fact joined
+    to the part dimension (broadcast), conditional sum over the join
+    output — the filter+broadcast+conditional-agg composite."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.sum(promo) / F.sum(rev) * 100, 4).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)) * 100, 4) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q1_pricing_summary": QuerySpec(_q1_pricing_summary, Q1_SQL),
+    "tpch_q14_promo_revenue": QuerySpec(_q14_promo_revenue, Q14_SQL),
     "tpch_q3_shipping_priority": QuerySpec(_q3_shipping_priority, Q3_SQL),
     "tpch_q6_forecast_revenue": QuerySpec(_q6_forecast_revenue, Q6_SQL),
     "window_suite": QuerySpec(_window_suite, WINDOW_SUITE_SQL),
