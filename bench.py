@@ -54,8 +54,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     registry = all_queries()
-    # Warm up the JVM / parquet footer caches with the cheapest query.
+    # Warm up the JVM and parquet footer caches with the cheapest query,
+    # and the Python worker pool with a no-op mapInPandas — otherwise the
+    # first pandas-path query pays worker spawn + Arrow init and the
+    # per-query numbers measure startup, not the operator.
     registry["flagship_revenue_by_nation"].fn(spark, sf_dir).count()
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

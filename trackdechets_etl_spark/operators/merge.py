@@ -1,0 +1,87 @@
+"""Batch merge (upsert) and time-grid gap filling.
+
+The reference's only sink semantics is full replace
+(``to_sql(if_exists='replace')``, ``dags/icpe-siretisation.py:380``) —
+at 100 TB a full rewrite per run is not an option, so the engine
+provides the incremental primitive: MERGE expressed as a full-outer
+join + coalesce (SCD1: changes win, unmatched base rows survive,
+brand-new keys insert). On a lakehouse table format this maps to
+``MERGE INTO``; the DataFrame form here is the format-agnostic
+equivalent and shuffles both sides once on the key.
+
+Gap filling regularizes an event stream onto a fixed time grid (the
+missing-bucket → zero step every downstream window/ML feature join
+needs). The grid is built from ONE aggregate row via ``sequence`` +
+``explode`` — no driver-side date loop, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """SCD1 merge: rows in ``changes`` overwrite same-key rows in
+    ``base``; keys only in ``base`` pass through; keys only in
+    ``changes`` insert. One full-outer shuffle join on the key; at
+    scale, pre-bucketing both sides by the key makes it shuffle-free."""
+    b = base.select(
+        F.col(key), *[F.col(c).alias(f"__b_{c}") for c in payload_cols]
+    )
+    c = changes.select(
+        F.col(key), *[F.col(cc).alias(f"__c_{cc}") for cc in payload_cols]
+    )
+    merged = b.join(c, key, "full_outer")
+    return merged.select(
+        F.col(key),
+        *[
+            F.coalesce(F.col(f"__c_{cc}"), F.col(f"__b_{cc}")).alias(cc)
+            for cc in payload_cols
+        ],
+    )
+
+
+def gap_fill_grid(
+    events: DataFrame,
+    ts_col: str,
+    group_col: str,
+    value_col: str = "value",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Regularize events onto a complete (group × time-bucket) grid:
+    every bucket between the corpus min and max appears for every
+    group, with zero-filled aggregates where no events landed.
+
+    The grid is sequence(min_bucket, max_bucket, interval) exploded
+    from a single aggregate row, cross-joined with the distinct groups
+    (both tiny → broadcast); observed per-bucket aggregates left-join
+    onto it. No driver loops; the only shuffle is the groupBy."""
+    bucketed = events.withColumn("__bucket", F.date_trunc("hour", F.col(ts_col)))
+    bounds = bucketed.agg(
+        F.min("__bucket").alias("lo"), F.max("__bucket").alias("hi")
+    )
+    grid_times = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {bucket}"))
+        ).alias("bucket_ts")
+    )
+    groups = events.select(F.col(group_col)).distinct()
+    grid = F.broadcast(grid_times).crossJoin(F.broadcast(groups))
+    observed = bucketed.groupBy(
+        F.col("__bucket").alias("bucket_ts"), F.col(group_col)
+    ).agg(
+        F.count("*").alias("__n"),
+        F.sum(value_col).alias("__sum"),
+    )
+    return grid.join(observed, ["bucket_ts", group_col], "left").select(
+        "bucket_ts",
+        group_col,
+        F.coalesce("__n", F.lit(0)).alias("n_events"),
+        F.round(F.coalesce("__sum", F.lit(0.0)), 2).alias("sum_value"),
+    )

@@ -516,6 +516,76 @@ GROUP BY 1
 """
 
 
+# ----------------------------------------------------------- merge upsert
+
+
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 merge: late orders (1998+) overwrite/extend the pre-1998
+    snapshot, with changed rows marked by a 10% price uplift so the
+    merge visibly wins over the base."""
+    from trackdechets_etl_spark.operators.merge import merge_upsert
+
+    o = read_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderdate") < F.lit("1998-01-01")).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    changes = (
+        o.filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+    )
+    return merge_upsert(base, changes, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+
+
+MERGE_UPSERT_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+changes AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+           'U' AS o_orderstatus
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+       coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
+"""
+
+
+# ------------------------------------------------------------- gap filling
+
+
+def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid per event type with zero-filled empty buckets."""
+    from trackdechets_etl_spark.operators.merge import gap_fill_grid
+
+    e = read_table(spark, sf_dir, "events")
+    return gap_fill_grid(e, "ts", "event_type", "value", "1 hour")
+
+
+EVENTS_GAP_FILL_SQL = """
+WITH b AS (SELECT date_trunc('hour', ts) AS bucket_ts, event_type, value
+           FROM events),
+bounds AS (SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b),
+grid_times AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_ts
+    FROM bounds),
+groups AS (SELECT DISTINCT event_type FROM b),
+grid AS (SELECT bucket_ts, event_type FROM grid_times, groups),
+obs AS (
+    SELECT bucket_ts, event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS s
+    FROM b GROUP BY 1, 2)
+SELECT g.bucket_ts, g.event_type,
+       coalesce(o.n, 0) AS n_events,
+       round(coalesce(o.s, 0.0), 2) AS sum_value
+FROM grid g LEFT JOIN obs o USING (bucket_ts, event_type)
+"""
+
+
 # -------------------------------------------------------- array statistics
 
 
@@ -555,6 +625,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_array_stats": QuerySpec(
         _embedding_array_stats, EMBEDDING_ARRAY_STATS_SQL
     ),
+    "merge_upsert": QuerySpec(_merge_upsert, MERGE_UPSERT_SQL),
+    "events_gap_fill": QuerySpec(_events_gap_fill, EVENTS_GAP_FILL_SQL),
     "unpivot_measures": QuerySpec(_unpivot_measures, UNPIVOT_SQL),
     "join_null_safe": QuerySpec(_join_null_safe, JOIN_NULL_SAFE_SQL),
     "agg_conditional": QuerySpec(_agg_conditional, AGG_CONDITIONAL_SQL),
