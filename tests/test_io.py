@@ -117,3 +117,32 @@ def test_csv_sink(spark, tmp_path):
     write_csv(df, out)
     back = spark.read.option("header", "true").csv(out)
     assert back.collect()[0].k == "x"
+
+
+def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from trackdechets_etl_spark.io.readers import read_jsonl
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a", "score": 0.5}\n'
+        '{"id": 2, "name": null, "score": 1.25}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    rows = sorted((r["id"], r["name"], r["score"]) for r in df.collect())
+    assert rows == [(1, "a", 0.5), (2, None, 1.25)]
+    assert df.schema == schema

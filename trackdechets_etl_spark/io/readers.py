@@ -108,6 +108,19 @@ def read_jdbc_query(
     return reader.load()
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema (same no-inference
+    discipline as S4/S5 — inferring JSON schema is a full extra pass,
+    and silently widens types at 100 TB). Malformed lines surface in
+    ``_corrupt_record``-free PERMISSIVE mode as nulls; switch to
+    ``mode='FAILFAST'`` via ``.option`` when ingest must be strict."""
+    return spark.read.schema(schema).json(path)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan — the engine's native format. Column pruning and
     predicate pushdown are automatic (verify via ``PushedFilters`` /
