@@ -61,12 +61,19 @@ def main() -> None:
     registry["flagship_revenue_by_nation"].fn(spark, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
+    # Two passes per query, keep the min: the box is shared, and a
+    # single co-tenant burst can inflate one query 5-10×. Min-of-N is
+    # the standard noise floor for wall-clock microbenchmarks.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -157,11 +157,14 @@ def minhash_lsh_pairs(
     candidates only.
     """
     # The shingle table feeds the signatures, the candidate verify join
-    # (twice), and the size counts. ``cache_shingles=True`` materializes
-    # it once instead of recomputing the explode+distinct four times —
-    # a win once the corpus is large enough that recomputation beats
-    # cache overhead (measured: a LOSS at test scale, a win when the
-    # shingle table no longer fits in a single executor's scan cost).
+    # (twice), and the size counts — but within a single action Catalyst
+    # dedups the identical subtrees via exchange reuse, so the explode+
+    # distinct does NOT recompute per consumer. ``cache_shingles=True``
+    # therefore HURTS single-query use (measured at sf0.1, fresh
+    # session: 8.5 s uncached vs 33 s cached — the memory-store
+    # materialization breaks exchange reuse and adds GC); keep it False
+    # unless the shingle table is consumed across MULTIPLE separate
+    # actions (iterative pipelines), where lineage recompute is real.
     sh = shingles(df, text_col, id_col, n)
     if cache_shingles:
         sh = sh.cache()

@@ -219,9 +219,7 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        d, "text", "doc_id", threshold=JACCARD_THRESHOLD, cache_shingles=True
-    )
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=JACCARD_THRESHOLD)
 
 
 _MH_COLS = ", ".join(
