@@ -349,7 +349,134 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# ------------------------------------------------------------ funnel
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage's
+    timestamp must follow the previous stage's for the same user.
+    Three conditional min-aggregates per user (each a groupBy on
+    user_id — AQE coalesces the tiny intermediates), then one count
+    row. The funnel-step condition rides on the aggregate, not a
+    self-join fanout."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts")
+    )
+    c = (
+        e.join(v, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("view_ts").alias("view_ts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).alias("click_ts"),
+        )
+    )
+    p = (
+        e.join(c, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("view_ts").alias("view_ts"),
+            F.min("click_ts").alias("click_ts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).alias("purchase_ts"),
+        )
+    )
+    return p.agg(
+        F.count(F.col("view_ts")).alias("n_viewed"),
+        F.count(F.col("click_ts")).alias("n_clicked_after_view"),
+        F.count(F.col("purchase_ts")).alias("n_purchased_after_click"),
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+    FROM events GROUP BY 1),
+c AS (
+    SELECT e.user_id, min(v.view_ts) AS view_ts,
+           min(CASE WHEN e.event_type = 'click' AND e.ts >= v.view_ts
+                    THEN e.ts END) AS click_ts
+    FROM events e JOIN v USING (user_id) GROUP BY 1),
+p AS (
+    SELECT e.user_id, min(c.view_ts) AS view_ts, min(c.click_ts) AS click_ts,
+           min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.click_ts
+                    THEN e.ts END) AS purchase_ts
+    FROM events e JOIN c USING (user_id) GROUP BY 1)
+SELECT CAST(count(view_ts) AS BIGINT) AS n_viewed,
+       CAST(count(click_ts) AS BIGINT) AS n_clicked_after_view,
+       CAST(count(purchase_ts) AS BIGINT) AS n_purchased_after_click
+FROM p
+"""
+
+
+# ------------------------------------------------------------ profiling
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+
+def _profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders: null count, distinct count, min/max
+    (as strings) per column — ONE scan producing every column's stats
+    in a single aggregate row, then unpivoted to a row per column.
+    The data-quality primitive run before any 100 TB ingest."""
+    o = read_table(spark, sf_dir, "orders")
+    aggs = []
+    for col in _PROFILE_COLS:
+        c = F.col(col)
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"{col}__nulls"),
+            F.countDistinct(c).alias(f"{col}__distinct"),
+            F.min(c).cast("string").alias(f"{col}__min"),
+            F.max(c).cast("string").alias(f"{col}__max"),
+        ]
+    one = o.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(col).alias("col_name"),
+            F.col(f"{col}__nulls").alias("n_nulls"),
+            F.col(f"{col}__distinct").alias("n_distinct"),
+            F.col(f"{col}__min").alias("min_str"),
+            F.col(f"{col}__max").alias("max_str"),
+        )
+        for col in _PROFILE_COLS
+    ]
+    return one.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def _profile_sql() -> str:
+    parts = []
+    for col in _PROFILE_COLS:
+        parts.append(
+            f"SELECT '{col}' AS col_name,"
+            f" CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
+            f" CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" CAST(min({col}) AS VARCHAR) AS min_str,"
+            f" CAST(max({col}) AS VARCHAR) AS max_str FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_funnel": QuerySpec(_funnel, FUNNEL_SQL),
+    "profile_orders": QuerySpec(_profile_table, _profile_sql()),
     "tpch_q1_pricing_summary": QuerySpec(_q1_pricing_summary, Q1_SQL),
     "tpch_q14_promo_revenue": QuerySpec(_q14_promo_revenue, Q14_SQL),
     "tpch_q3_shipping_priority": QuerySpec(_q3_shipping_priority, Q3_SQL),
