@@ -29,8 +29,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (omitted for
-    non-SQL-expressible ops — none currently)."""
+    """DuckDB-runnable ANSI SQL twin for each query. Omitted only for
+    ``agg_coverage_stats_approx`` (HyperLogLog approx-distinct has no
+    exact SQL twin by construction — rows-only check)."""
     return {
         name: spec.oracle
         for name, spec in all_queries().items()

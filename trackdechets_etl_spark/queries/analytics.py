@@ -349,6 +349,71 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# ---------------------------------------------------------- TPC-H Q13 shape
+
+
+def _q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): left join
+    preserving zero-order customers, then a second aggregation over the
+    first — the double-groupBy pattern; the second groupBy's input is
+    |customers| rows, so AQE coalesces it to a handful of partitions."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------- TPC-H Q18 shape
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): HAVING over an aggregate
+    (sum of line quantities > 150) used as a semi-filter on orders,
+    then enriched with customer. The HAVING set is tiny → broadcast
+    back against orders; lineitem is scanned once."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 150)
+SELECT o_orderkey, c_name, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 # ------------------------------------------------------------ funnel
 
 
@@ -475,6 +540,8 @@ def _profile_sql() -> str:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "tpch_q13_order_distribution": QuerySpec(_q13_order_distribution, Q13_SQL),
+    "tpch_q18_large_orders": QuerySpec(_q18_large_orders, Q18_SQL),
     "events_funnel": QuerySpec(_funnel, FUNNEL_SQL),
     "profile_orders": QuerySpec(_profile_table, _profile_sql()),
     "tpch_q1_pricing_summary": QuerySpec(_q1_pricing_summary, Q1_SQL),
