@@ -132,3 +132,24 @@ def test_stream_static_enrich_equals_batch(spark):
     batch = stream_enrich(read_table(spark, SF_DIR, "events"), users, "user_id")
     want = {(r.event_id, r.segment) for r in batch.select("event_id", "segment").collect()}
     assert got == want
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch sink pattern: each micro-batch lands as parquet via
+    an arbitrary batch function — the escape hatch for sinks without a
+    native streaming writer (JDBC, REST, upserts)."""
+    out = str(tmp_path / "sink")
+    stream = stream_from_parquet(spark, SF_DIR, watermark="1 hour")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.select("event_id", "event_type").write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    n = read_table(spark, SF_DIR, "events").count()
+    assert spark.read.parquet(out).count() == n
