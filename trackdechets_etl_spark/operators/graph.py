@@ -39,11 +39,14 @@ def connected_components(
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    # Checkpoint edges FIRST and derive labels from the checkpointed
+    # frame — deriving labels from the raw lineage would materialize the
+    # (expensive) pair computation a second time.
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
     )
     labels = labels.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iterations):
         neighbor_labels = edges.join(
