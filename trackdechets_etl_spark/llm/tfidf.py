@@ -1,0 +1,84 @@
+"""TF-IDF term weighting over a document corpus — pure DataFrame ops.
+
+Pipeline: tokenize (split) → per-(doc, term) counts (one shuffle) →
+document frequencies (second aggregate over the first, map-side
+partial) → join idf back (the term-df table is vocabulary-sized →
+broadcast) → weight = tf * ln(N / df).
+
+At 100 TB the df table is the only global state; it is
+vocabulary-bounded (≪ corpus) and reusable across runs, so it is the
+thing to persist, not the per-doc scores. Smoothing uses the plain
+``ln(N/df)`` form so the oracle can reproduce it with SQL ``ln``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def term_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, term, tf) for whitespace terms — empty strings dropped so
+    repeated separators don't mint a '' token."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF weights; optionally only each doc's
+    ``top_k`` terms (rank key: weight rounded to 9dp desc, term asc —
+    engine-stable). Weight = tf * ln(n_docs / df)."""
+    tc = term_counts(docs, text_col, id_col)
+    n_docs = docs.select(id_col).distinct().count()
+    df_tbl = tc.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tc.join(F.broadcast(df_tbl), "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    if top_k is None:
+        return scored
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("tfidf"), 9).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def stratified_top_n(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Exactly-N-per-group deterministic sample: rank rows inside each
+    group by md5(id) (a uniform, engine-independent ordering) and keep
+    the first N. The balanced-subset primitive for training-data
+    curation — unlike ``sampleBy``, the result is identical on any
+    engine, any partitioning, any retry."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

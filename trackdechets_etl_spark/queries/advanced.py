@@ -586,6 +586,63 @@ FROM grid g LEFT JOIN obs o USING (bucket_ts, event_type)
 """
 
 
+# ------------------------------------------------------------------ TF-IDF
+
+TFIDF_TOP_K = 3
+
+
+def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trackdechets_etl_spark.llm.tfidf import tfidf
+
+    d = read_table(spark, sf_dir, "documents")
+    return tfidf(d, "text", "doc_id", top_k=TFIDF_TOP_K)
+
+
+TEXT_TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tc AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE term <> '' GROUP BY 1, 2),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+dfs AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+scored AS (
+    SELECT tc.doc_id, tc.term, tc.tf,
+           round(tc.tf * ln(nd.n / dfs.df), 6) AS tfidf
+    FROM tc JOIN dfs USING (term) CROSS JOIN nd),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY round(tfidf, 9) DESC, term ASC) AS rank
+    FROM scored)
+SELECT doc_id, term, tf, tfidf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+# ------------------------------------------------- stratified exact-N sample
+
+STRATA_N = 20
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from trackdechets_etl_spark.llm.tfidf import stratified_top_n
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_top_n(d, "lang", "doc_id", STRATA_N)
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH r AS (
+    SELECT doc_id, lang, n_chars,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+    FROM documents)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= {STRATA_N}
+"""
+
+
 # -------------------------------------------------------- array statistics
 
 
@@ -627,6 +684,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "merge_upsert": QuerySpec(_merge_upsert, MERGE_UPSERT_SQL),
     "events_gap_fill": QuerySpec(_events_gap_fill, EVENTS_GAP_FILL_SQL),
+    "text_tfidf_topk": QuerySpec(_text_tfidf, TEXT_TFIDF_SQL),
+    "sample_stratified_per_group": QuerySpec(
+        _sample_stratified, SAMPLE_STRATIFIED_SQL
+    ),
     "unpivot_measures": QuerySpec(_unpivot_measures, UNPIVOT_SQL),
     "join_null_safe": QuerySpec(_join_null_safe, JOIN_NULL_SAFE_SQL),
     "agg_conditional": QuerySpec(_agg_conditional, AGG_CONDITIONAL_SQL),
