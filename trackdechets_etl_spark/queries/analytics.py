@@ -179,6 +179,71 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
 
+# ------------------------------------------------------- range-frame window
+
+
+def _events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour RANGE frame per user (value-based, not
+    row-count-based): each event sees the sum/count of the SAME user's
+    events in (ts - 1h, ts]. Spark expresses interval ranges on the
+    epoch-seconds ordering column; same shuffle profile as a rows
+    frame — one partition pass."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600 + 1, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+    )
+
+
+EVENTS_RANGE_WINDOW_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       round(sum(value) OVER w, 2) AS sum_trailing_1h
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch(ts)
+    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------------------ rank ratios
+
+
+def _window_rank_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist per market-segment price ordering —
+    the normalized-rank family rounding out the window coverage."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return j.select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+WINDOW_RANK_RATIOS_SQL = """
+SELECT o_orderkey, c_mktsegment,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 # ------------------------------------------------------------ date functions
 
 
@@ -549,6 +614,8 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q3_shipping_priority": QuerySpec(_q3_shipping_priority, Q3_SQL),
     "tpch_q6_forecast_revenue": QuerySpec(_q6_forecast_revenue, Q6_SQL),
     "window_suite": QuerySpec(_window_suite, WINDOW_SUITE_SQL),
+    "events_range_window": QuerySpec(_events_range_window, EVENTS_RANGE_WINDOW_SQL),
+    "window_rank_ratios": QuerySpec(_window_rank_ratios, WINDOW_RANK_RATIOS_SQL),
     "date_functions": QuerySpec(_date_functions, DATE_FUNCTIONS_SQL),
     "string_functions": QuerySpec(_string_functions, STRING_FUNCTIONS_SQL),
     "json_extract_events": QuerySpec(_json_extract, JSON_EXTRACT_SQL),
