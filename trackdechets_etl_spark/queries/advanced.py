@@ -586,6 +586,97 @@ FROM grid g LEFT JOIN obs o USING (bucket_ts, event_type)
 """
 
 
+# ---------------------------------------------- training-data pipeline
+
+
+def _pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation flagship composing the verified stages:
+    quality filter → exact-dedup canonical → near-dup CLUSTER canonical
+    (connected components keeps one doc per duplicate group, instead of
+    corpus-clean's drop-all-pair-partners) → stratified exact-N per
+    language. The output is the balanced training subset a 100 TB
+    corpus pipeline ships."""
+    from trackdechets_etl_spark.llm import text as TX
+    from trackdechets_etl_spark.llm.dedup import exact_dedup, ngram_jaccard_pairs
+    from trackdechets_etl_spark.llm.tfidf import stratified_top_n
+    from trackdechets_etl_spark.operators.graph import dedup_clusters
+    from trackdechets_etl_spark.queries.llm import JACCARD_THRESHOLD, QUALITY_KEEP
+
+    d = read_table(spark, sf_dir, "documents")
+    score = TX.quality_features(F.col("text"))["quality_score"]
+    kept_q = d.select("doc_id", "lang", score.alias("quality_score")).filter(
+        F.col("quality_score") >= QUALITY_KEEP
+    )
+    canon_exact = (
+        exact_dedup(d, "text", "doc_id").filter(~F.col("is_dup")).select("doc_id")
+    )
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+    canon_near = (
+        dedup_clusters(d, pairs, "doc_id")
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    survivors = kept_q.join(canon_exact, "doc_id").join(canon_near, "doc_id")
+    return stratified_top_n(survivors, "lang", "doc_id", STRATA_N)
+
+
+def _pipeline_training_data_sql() -> str:
+    from trackdechets_etl_spark.queries.llm import (
+        _SHINGLES,
+        _STOP_LIST,
+        JACCARD_THRESHOLD,
+        QUALITY_KEEP,
+    )
+
+    return f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id, text,
+           len(list_filter(string_split(text, ' '),
+                           x -> list_contains({_STOP_LIST}, x))) AS n_stop,
+           len(string_split(text, ' ')) AS n_words
+    FROM documents),
+scored AS (
+    SELECT doc_id, text,
+           round(least(n_words / 100.0, 1.0) * 0.5
+                 + (1.0 - n_stop / n_words) * 0.5, 4) AS quality_score
+    FROM t),
+canon AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
+        FROM documents) WHERE doc_id = keep_id),
+{_SHINGLES.strip().lstrip()},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) seed
+    UNION SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+surv AS (
+    SELECT s.doc_id, d.lang, s.quality_score
+    FROM scored s
+    JOIN canon USING (doc_id)
+    JOIN documents d USING (doc_id)
+    LEFT JOIN comp c USING (doc_id)
+    WHERE s.quality_score >= {QUALITY_KEEP}
+      AND coalesce(c.cluster_id, s.doc_id) = s.doc_id),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+    FROM surv)
+SELECT doc_id, lang, quality_score FROM r WHERE rn <= {STRATA_N}
+"""
+
+
 # ------------------------------------------------------------------ TF-IDF
 
 TFIDF_TOP_K = 3
@@ -684,6 +775,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "merge_upsert": QuerySpec(_merge_upsert, MERGE_UPSERT_SQL),
     "events_gap_fill": QuerySpec(_events_gap_fill, EVENTS_GAP_FILL_SQL),
+    "pipeline_training_data": QuerySpec(
+        _pipeline_training_data, _pipeline_training_data_sql()
+    ),
     "text_tfidf_topk": QuerySpec(_text_tfidf, TEXT_TFIDF_SQL),
     "sample_stratified_per_group": QuerySpec(
         _sample_stratified, SAMPLE_STRATIFIED_SQL
