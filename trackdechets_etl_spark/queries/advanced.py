@@ -734,6 +734,37 @@ SELECT doc_id, lang, n_chars FROM r WHERE rn <= {STRATA_N}
 """
 
 
+# ----------------------------------------------------- multimodal decode
+
+
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched ``mapInPandas`` decode path, oracle-checked:
+    the deterministic fake decoder reads raw payload bytes (length,
+    first, middle, last), which SQL reproduces exactly because the
+    corpus text is pure ASCII (byte i == char i). Proves the Python
+    escape hatch is held to the same correctness gate as the JVM ops."""
+    from trackdechets_etl_spark.llm.multimodal import decode_features, with_payload
+
+    d = read_table(spark, sf_dir, "documents")
+    return decode_features(with_payload(d, "text", "doc_id"), fake=True)
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS mm_kind,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CASE WHEN length(text) = 0
+            THEN [0.0, 0.0, 0.0, 0.0]
+            ELSE [CAST(length(text) AS DOUBLE),
+                  CAST(ascii(substring(text, 1, 1)) AS DOUBLE),
+                  CAST(ascii(substring(text, length(text) // 2 + 1, 1)) AS DOUBLE),
+                  CAST(ascii(substring(text, length(text), 1)) AS DOUBLE)]
+       END AS features
+FROM documents
+"""
+
+
 # -------------------------------------------------------- array statistics
 
 
@@ -773,6 +804,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_array_stats": QuerySpec(
         _embedding_array_stats, EMBEDDING_ARRAY_STATS_SQL
     ),
+    "multimodal_decode": QuerySpec(_multimodal_decode, MULTIMODAL_DECODE_SQL),
     "merge_upsert": QuerySpec(_merge_upsert, MERGE_UPSERT_SQL),
     "events_gap_fill": QuerySpec(_events_gap_fill, EVENTS_GAP_FILL_SQL),
     "pipeline_training_data": QuerySpec(
