@@ -91,6 +91,25 @@ def decode_features(df: DataFrame, fake: bool = True, batch_hint: int = 1024) ->
     this is the pattern for GPU/codec feature extraction; nothing here
     is driver-side."""
 
+    # The batch fn must be SELF-CONTAINED: cloudpickle serializes
+    # references to module-level functions (like decode_payload) by
+    # module path, which breaks on executors that don't have this repo
+    # on PYTHONPATH (e.g. a driver harness running from another cwd).
+    # Nested functions pickle by value, so the decode logic lives here.
+    def _decode_one(payload: bytes, kind: str) -> list[float]:
+        if not fake:
+            raise NotImplementedError(
+                f"no {kind} decoder available in this environment; use fake=True"
+            )
+        if not payload:
+            return [0.0, 0.0, 0.0, 0.0]
+        return [
+            float(len(payload)),
+            float(payload[0]),
+            float(payload[len(payload) // 2]),
+            float(payload[-1]),
+        ]
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -99,7 +118,7 @@ def decode_features(df: DataFrame, fake: bool = True, batch_hint: int = 1024) ->
                     "mm_kind": pdf["mm_kind"],
                     "n_bytes": pdf["n_bytes"],
                     "features": [
-                        decode_payload(bytes(p), k, fake=fake)
+                        _decode_one(bytes(p), k)
                         for p, k in zip(pdf["payload"], pdf["mm_kind"])
                     ],
                 }
