@@ -414,6 +414,49 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# ---------------------------------------------------------- TPC-H Q10 shape
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue ranking (TPC-H Q10 shape): four-table
+    join (fact + three broadcast dims), revenue aggregate per customer,
+    top 20. The fact scan carries the returnflag + date predicates down
+    to parquet."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------- TPC-H Q13 shape
 
 
@@ -605,6 +648,7 @@ def _profile_sql() -> str:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "tpch_q10_returned_items": QuerySpec(_q10_returned_items, Q10_SQL),
     "tpch_q13_order_distribution": QuerySpec(_q13_order_distribution, Q13_SQL),
     "tpch_q18_large_orders": QuerySpec(_q18_large_orders, Q18_SQL),
     "events_funnel": QuerySpec(_funnel, FUNNEL_SQL),
