@@ -73,6 +73,26 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     )
 
 
+def test_q10_broadcasts_all_three_dims(spark):
+    plan = _plan(REGISTRY["tpch_q10_returned_items"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, "Q10 dims not broadcast"
+    assert "SortMergeJoin" not in plan
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    assert "l_returnflag" in pushed, "returnflag filter not pushed to lineitem scan"
+
+
+def test_gap_fill_broadcasts_grid(spark):
+    plan = _plan(REGISTRY["events_gap_fill"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "grid × groups should broadcast, never shuffle the grid"
+    )
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    plan = _plan(REGISTRY["text_tfidf_topk"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "document-frequency table not broadcast"
+
+
 def test_siretisation_joins_all_broadcast(spark):
     plan = _plan(REGISTRY["pipeline_siretisation_enriched"].fn(spark, SF_DIR))
     assert plan.count("SortMergeJoin") == 0, "unexpected shuffle join in enrich chain"
