@@ -87,3 +87,19 @@ def test_register_views_sql_front_door(spark):
         "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     ).collect()
     assert out[0]["n"] > 0
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from trackdechets_etl_spark.io.writers import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    e = read_table(spark, SF_DIR, "events")
+    e.repartition(64).write.parquet(src)  # 64 tiny files
+    n_small = len(list((tmp_path / "fragmented").rglob("*.parquet")))
+    assert n_small >= 32
+
+    dest = str(tmp_path / "compacted")
+    n_parts = compact_parquet(spark, src, dest, target_file_bytes=64 * 1024 * 1024)
+    n_big = len(list((tmp_path / "compacted").rglob("*.parquet")))
+    assert n_big == n_parts <= 4
+    assert spark.read.parquet(dest).count() == e.count()

@@ -10,6 +10,8 @@ JDBC writer batches at 1000+ rows). The REST sink (S10,
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame
 
 
@@ -46,6 +48,30 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files. The operational fix for the
+    many-small-files problem (streaming sinks, per-task outputs) that
+    murders scan throughput at 100 TB — file-open overhead and
+    footer reads dominate once files drop below ~tens of MB.
+    Returns the number of output partitions written.
+
+    Sizing walks the local filesystem; on object storage swap the walk
+    for the Hadoop FileSystem API (same coalesce logic)."""
+    df = spark.read.parquet(src_path)
+    total_bytes = sum(
+        f.stat().st_size for f in Path(src_path).rglob("*.parquet")
+    )
+    n_parts = max(1, -(-total_bytes // target_file_bytes))  # ceil div
+    df.coalesce(n_parts).write.mode("overwrite").parquet(dest_path)
+    return n_parts
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:

@@ -522,6 +522,67 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# ----------------------------------------- correlated scalar subquery (Q2)
+
+
+def _top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2's shape): suppliers whose
+    balance equals their nation's maximum. Catalyst decorrelates to an
+    aggregate + self-join; expressed through the SQL front door to
+    prove the correlated form itself is accepted."""
+    read_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_v")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier_v s
+        WHERE s_acctbal = (
+            SELECT max(s2.s_acctbal) FROM supplier_v s2
+            WHERE s2.s_nationkey = s.s_nationkey)
+        """
+    )
+
+
+TOP_SUPPLIER_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier s
+WHERE s_acctbal = (
+    SELECT max(s2.s_acctbal) FROM supplier s2
+    WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+# ------------------------------------------------------- set ops, ALL form
+
+
+def _set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL over
+    per-user event-type multisets): users' view-events intersected/
+    subtracted with multiplicity preserved, aggregated to counts."""
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    inter = clicks.intersectAll(views).groupBy("user_id").agg(
+        F.count("*").alias("n")
+    ).withColumn("op", F.lit("intersect_all"))
+    exc = clicks.exceptAll(views).groupBy("user_id").agg(
+        F.count("*").alias("n")
+    ).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(exc)
+
+
+SET_OPS_ALL_SQL = """
+WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+i AS (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM v),
+x AS (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM v)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+FROM i GROUP BY 1
+UNION ALL
+SELECT user_id, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+FROM x GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------ funnel
 
 
@@ -652,6 +713,8 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q13_order_distribution": QuerySpec(_q13_order_distribution, Q13_SQL),
     "tpch_q18_large_orders": QuerySpec(_q18_large_orders, Q18_SQL),
     "events_funnel": QuerySpec(_funnel, FUNNEL_SQL),
+    "top_supplier_per_nation": QuerySpec(_top_supplier_per_nation, TOP_SUPPLIER_SQL),
+    "events_set_ops_all": QuerySpec(_set_ops_all, SET_OPS_ALL_SQL),
     "profile_orders": QuerySpec(_profile_table, _profile_sql()),
     "tpch_q1_pricing_summary": QuerySpec(_q1_pricing_summary, Q1_SQL),
     "tpch_q14_promo_revenue": QuerySpec(_q14_promo_revenue, Q14_SQL),
