@@ -90,3 +90,114 @@ def test_keep_last_matches_model(spark, rows):
         if k not in want or (o1, o2) > want[k]:
             want[k] = (o1, o2)
     assert got == want
+
+
+def _model_asof(left_rows, right_rows):
+    """Brute-force as-of model: for each left (k, t), the right row with
+    the same k, max (t', tie) such that t' <= t."""
+    out = {}
+    for i, (k, t) in enumerate(left_rows):
+        best = None
+        for k2, t2, tie in right_rows:
+            if k2 == k and t2 <= t:
+                cand = (t2, tie)
+                if best is None or cand > best:
+                    best = cand
+        out[i] = best
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=15
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@SETTINGS
+def test_asof_join_matches_bruteforce_model(spark, left_rows, right_rows):
+    from datetime import datetime, timedelta
+
+    from trackdechets_etl_spark.operators.temporal import asof_join
+
+    base = datetime(2024, 1, 1)
+
+    def ts(n):
+        return base + timedelta(hours=n)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(left_rows)],
+        "idx long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(t), tie) for (k, t, tie) in right_rows],
+        "k long, t timestamp, tie long",
+    ) if right_rows else spark.createDataFrame([], "k long, t timestamp, tie long")
+
+    got = {
+        r["idx"]: (r["asof_t"], r["asof_tie"])
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", ["tie"], "tie"
+        ).collect()
+    }
+    want = _model_asof(left_rows, right_rows)
+    for i, best in want.items():
+        if best is None:
+            assert got[i] == (None, None), f"idx {i}: expected no match, got {got[i]}"
+        else:
+            t2, tie = best
+            assert got[i] == (ts(t2), tie), f"idx {i}"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(1, 8)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 25)), min_size=0, max_size=25
+    ),
+    st.sampled_from([3600, 7200, 10800]),
+)
+@SETTINGS
+def test_range_join_matches_bruteforce_model(spark, intervals, points, bucket_s):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F2
+
+    from trackdechets_etl_spark.operators.temporal import range_join_bucketed
+
+    base = datetime(2024, 1, 1)
+
+    def ts(n):
+        return base + timedelta(hours=n)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(s), ts(s + w)) for i, (k, s, w) in enumerate(intervals)],
+        "idx long, k long, start timestamp, stop timestamp",
+    )
+    right = (
+        spark.createDataFrame(
+            [(j, k, ts(t)) for j, (k, t) in enumerate(points)],
+            "pid long, k2 long, pt timestamp",
+        )
+        if points
+        else spark.createDataFrame([], "pid long, k2 long, pt timestamp")
+    )
+    got = {
+        (r["idx"], r["pid"])
+        for r in range_join_bucketed(
+            left, right, "k", "k2", F2.col("start"), F2.col("stop"), "pt", bucket_s
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (k, s, w) in enumerate(intervals)
+        for j, (k2, t) in enumerate(points)
+        if k2 == k and s <= t < s + w
+    }
+    assert got == want
