@@ -522,6 +522,96 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# ------------------------------------------------------- fuzzy name join
+
+FUZZY_MAX_DIST = 1
+FUZZY_LEFT_MAX = 100
+
+
+def _join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-name join: near-identical customer names within
+    Levenshtein distance 1 — the realistic upgrade of the reference's
+    exact name-equality join (dags/icpe-siretisation.py:243-246), which
+    misses typos. BLOCKING is the scale move: candidates must share
+    name length and a 10-char prefix, so the quadratic edit-distance
+    compare runs inside tiny blocks, never across the full corpus."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.filter(F.col("c_custkey") < FUZZY_LEFT_MAX).select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a")
+    )
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    blocked = a.join(
+        b,
+        (F.length("name_a") == F.length("name_b"))
+        & (F.substring("name_a", 1, 10) == F.substring("name_b", 1, 10))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    return blocked.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+    ).filter(F.col("dist") <= FUZZY_MAX_DIST)
+
+
+JOIN_FUZZY_NAME_SQL = f"""
+WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a FROM customer
+           WHERE c_custkey < {FUZZY_LEFT_MAX}),
+b AS (SELECT c_custkey AS id_b, c_name AS name_b FROM customer)
+SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM a JOIN b ON length(name_a) = length(name_b)
+ AND substring(name_a, 1, 10) = substring(name_b, 1, 10)
+ AND id_a < id_b
+WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+"""
+
+
+# -------------------------------------------------------- percent of total
+
+
+def _revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue share of the global total. The total comes
+    from a 1-row aggregate broadcast-cross-joined onto the per-nation
+    aggregates — NOT a global window (`sum() over ()` collapses all
+    rows into one partition; the broadcast form keeps every stage
+    parallel)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_nation = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("__rev"))
+    )
+    total = per_nation.agg(F.sum("__rev").alias("__total"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            F.round("__rev", 2).alias("revenue"),
+            F.round(F.col("__rev") / F.col("__total") * 100, 6).alias("share_pct"),
+        )
+    )
+
+
+REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1),
+t AS (SELECT sum(rev) AS total FROM per_nation)
+SELECT n_name, round(rev, 2) AS revenue,
+       round(rev / t.total * 100, 6) AS share_pct
+FROM per_nation, t
+"""
+
+
 # ----------------------------------------- correlated scalar subquery (Q2)
 
 
@@ -714,6 +804,8 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q18_large_orders": QuerySpec(_q18_large_orders, Q18_SQL),
     "events_funnel": QuerySpec(_funnel, FUNNEL_SQL),
     "top_supplier_per_nation": QuerySpec(_top_supplier_per_nation, TOP_SUPPLIER_SQL),
+    "join_fuzzy_name": QuerySpec(_join_fuzzy_name, JOIN_FUZZY_NAME_SQL),
+    "revenue_share_pct": QuerySpec(_revenue_share, REVENUE_SHARE_SQL),
     "events_set_ops_all": QuerySpec(_set_ops_all, SET_OPS_ALL_SQL),
     "profile_orders": QuerySpec(_profile_table, _profile_sql()),
     "tpch_q1_pricing_summary": QuerySpec(_q1_pricing_summary, Q1_SQL),
