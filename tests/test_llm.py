@@ -151,3 +151,19 @@ def test_multimodal_kind_metadata(spark):
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         decode_payload(b"xx", "image", fake=False)
+
+
+def test_resize_payloads_subsamples_bytes(spark):
+    from trackdechets_etl_spark.llm.multimodal import resize_payloads, with_payload
+    from trackdechets_etl_spark.io.readers import read_table
+    from tests.conftest import SF_DIR
+
+    d = read_table(spark, SF_DIR, "documents").limit(20)
+    src = with_payload(d, "text", "doc_id")
+    out = {r["doc_id"]: r for r in resize_payloads(src, scale_den=4).collect()}
+    for r in src.collect():
+        got = out[r["doc_id"]]
+        want = bytes(r["payload"])[::4]
+        assert bytes(got["payload"]) == want
+        assert got["n_bytes"] == len(want)
+        assert got["scale_den"] == 4

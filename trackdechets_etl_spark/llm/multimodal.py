@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -143,6 +144,46 @@ def with_kind_metadata(df: DataFrame) -> DataFrame:
         F.when(F.col("mm_kind") == "video", n / 100 + 1).cast("long").alias("n_frames"),
     )
     return df.withColumn("meta", meta)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mm_kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("scale_den", LongType()),
+    ]
+)
+
+
+def resize_payloads(df: DataFrame, scale_den: int = 4) -> DataFrame:
+    """Resize plumbing over ``mapInPandas``: every payload is reduced to
+    1/``scale_den`` of its bytes. A real deployment swaps the kernel for
+    PIL/libvips inside the same batch function (not installed here —
+    the deterministic stand-in keeps every ``scale_den``-th byte, so
+    output sizes and bytes are exactly checkable). The batch function
+    is self-contained (no module refs) so it ships to any executor."""
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    den = int(scale_den)
+
+    def resize_batches(batches):
+        for pdf in batches:
+            payloads = [bytes(p)[::den] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mm_kind": pdf["mm_kind"],
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "scale_den": [den] * len(payloads),
+                }
+            )
+
+    return df.select("doc_id", "mm_kind", "payload").mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )
 
 
 def frame_sample_offsets(df: DataFrame, n_frames: int = 4) -> DataFrame:
