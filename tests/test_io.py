@@ -146,3 +146,18 @@ def test_jsonl_roundtrip_with_explicit_schema(spark, tmp_path):
     rows = sorted((r["id"], r["name"], r["score"]) for r in df.collect())
     assert rows == [(1, "a", 0.5), (2, None, 1.25)]
     assert df.schema == schema
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink/source round-trip — the third columnar format Spark
+    ships natively (after parquet); schema and values survive."""
+    from trackdechets_etl_spark.io.readers import read_table
+
+    src = read_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
