@@ -734,6 +734,108 @@ SELECT doc_id, lang, n_chars FROM r WHERE rn <= {STRATA_N}
 """
 
 
+# ------------------------------------------------------------- LSH recall
+
+
+def _sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness: recall@5 of the LSH-bucketed top-k
+    against the exact brute force, per query — the metric that decides
+    whether an approximate index is shippable. Both sides are
+    deterministic, so even the EVALUATION is oracle-checked."""
+    from trackdechets_etl_spark.llm.similarity import lsh_bucket_topk, topk_bruteforce
+    from trackdechets_etl_spark.queries.llm import EMB_DIMS, TOPK_QUERY_IDS
+
+    e = read_table(spark, sf_dir, "embeddings")
+    exact = topk_bruteforce(e, "vec_id", "embedding", TOPK_QUERY_IDS, k=5).select(
+        "q_id", F.col("c_id").alias("exact_c")
+    )
+    approx = lsh_bucket_topk(
+        e, "vec_id", "embedding", EMB_DIMS, TOPK_QUERY_IDS, k=5
+    ).select("q_id", F.col("c_id").alias("approx_c"))
+    hits = exact.join(
+        approx,
+        (exact.q_id == approx.q_id) & (exact.exact_c == approx.approx_c),
+    ).groupBy(exact.q_id).agg(F.count("*").alias("n_hits"))
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count("*").alias("k"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k"), 4
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+def _sim_lsh_recall_sql() -> str:
+    from trackdechets_etl_spark.queries.llm import SIM_LSH_TOPK_SQL, SIM_TOPK_SQL
+
+    return f"""
+WITH exact_r AS ({SIM_TOPK_SQL}),
+approx_r AS ({SIM_LSH_TOPK_SQL}),
+hits AS (
+    SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM exact_r e JOIN approx_r a ON e.q_id = a.q_id AND e.c_id = a.c_id
+    GROUP BY 1),
+ks AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k FROM exact_r GROUP BY 1)
+SELECT ks.q_id, round(coalesce(hits.n_hits, 0) / ks.k, 4) AS recall_at_5
+FROM ks LEFT JOIN hits USING (q_id)
+"""
+
+
+# ------------------------------------------------- incremental aggregation
+
+INCR_CUTOFF = "1998-01-01"
+
+
+def _incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a historical per-status
+    revenue snapshot (orders before the cutoff) is combined with the
+    fresh delta (orders at/after it) by SUMMING PARTIAL AGGREGATES —
+    history is never rescanned. The mergeability property that makes
+    100 TB rollups affordable; count and sum merge, avg re-derives."""
+    o = read_table(spark, sf_dir, "orders")
+    hist = (
+        o.filter(F.col("o_orderdate") < F.lit(INCR_CUTOFF))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+    )
+    delta = (
+        o.filter(F.col("o_orderdate") >= F.lit(INCR_CUTOFF))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+    )
+    return (
+        hist.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("rev").alias("rev"), F.sum("n").alias("n"))
+        .select(
+            "o_orderstatus",
+            F.round("rev", 2).alias("total_revenue"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(F.col("rev") / F.col("n"), 4).alias("avg_price"),
+        )
+    )
+
+
+INCREMENTAL_AGG_SQL = f"""
+WITH hist AS (
+    SELECT o_orderstatus, sum(o_totalprice) AS rev, count(*) AS n
+    FROM orders WHERE o_orderdate < TIMESTAMP '{INCR_CUTOFF}' GROUP BY 1),
+delta AS (
+    SELECT o_orderstatus, sum(o_totalprice) AS rev, count(*) AS n
+    FROM orders WHERE o_orderdate >= TIMESTAMP '{INCR_CUTOFF}' GROUP BY 1),
+u AS (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+SELECT o_orderstatus,
+       round(sum(rev), 2) AS total_revenue,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       round(sum(rev) / sum(n), 4) AS avg_price
+FROM u GROUP BY 1
+"""
+
+
 # ----------------------------------------------------- multimodal decode
 
 
@@ -805,6 +907,8 @@ QUERIES: dict[str, QuerySpec] = {
         _embedding_array_stats, EMBEDDING_ARRAY_STATS_SQL
     ),
     "multimodal_decode": QuerySpec(_multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "sim_lsh_recall": QuerySpec(_sim_lsh_recall, _sim_lsh_recall_sql()),
+    "incremental_agg": QuerySpec(_incremental_agg, INCREMENTAL_AGG_SQL),
     "merge_upsert": QuerySpec(_merge_upsert, MERGE_UPSERT_SQL),
     "events_gap_fill": QuerySpec(_events_gap_fill, EVENTS_GAP_FILL_SQL),
     "pipeline_training_data": QuerySpec(
