@@ -673,6 +673,63 @@ FROM x GROUP BY 1
 """
 
 
+# --------------------------------------------------------- grouping sets
+
+
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form CUBE/ROLLUP compile
+    to): per-flag, per-status, and grand-total aggregates in one pass,
+    without the flag×status cell CUBE would also emit."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+               coalesce(l_linestatus, 'ALL') AS status,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# ------------------------------------------------------ cross-modal join
+
+
+def _docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment: the text corpus joined to its embedding
+    table on id, aggregated to the language × cluster-label grid — the
+    join every text+vector pipeline runs before training-mix analysis.
+    At 100 TB both sides are bucketed on the id so this is
+    shuffle-free."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    return (
+        d.join(e, "doc_id")
+        .groupBy("lang", "label")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+DOCS_EMB_SQL = """
+SELECT d.lang, e.label, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------ funnel
 
 
@@ -807,6 +864,8 @@ QUERIES: dict[str, QuerySpec] = {
     "join_fuzzy_name": QuerySpec(_join_fuzzy_name, JOIN_FUZZY_NAME_SQL),
     "revenue_share_pct": QuerySpec(_revenue_share, REVENUE_SHARE_SQL),
     "events_set_ops_all": QuerySpec(_set_ops_all, SET_OPS_ALL_SQL),
+    "agg_grouping_sets": QuerySpec(_grouping_sets, GROUPING_SETS_SQL),
+    "docs_with_embeddings": QuerySpec(_docs_with_embeddings, DOCS_EMB_SQL),
     "profile_orders": QuerySpec(_profile_table, _profile_sql()),
     "tpch_q1_pricing_summary": QuerySpec(_q1_pricing_summary, Q1_SQL),
     "tpch_q14_promo_revenue": QuerySpec(_q14_promo_revenue, Q14_SQL),
