@@ -801,6 +801,45 @@ FROM p
 """
 
 
+# ------------------------------------------------- referential integrity
+
+
+def _audit_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: count of fact rows whose foreign
+    key has no dimension row (lineitem→orders, orders→customer,
+    events→customer-as-user). Left-anti joins — no payload moves, and
+    Spark converts each to a broadcast anti join when the key side
+    fits. The pre-ingest gate for every 100 TB load."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    e = read_table(spark, sf_dir, "events").select("user_id")
+    orphan_li = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).count()
+    orphan_o = o.select("o_custkey").join(
+        c, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).count()
+    orphan_e = e.join(
+        c, e.user_id == F.col("c_custkey"), "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [(orphan_li, orphan_o, orphan_e)],
+        "orphan_lineitems long, orphan_orders long, orphan_events long",
+    )
+
+
+AUDIT_ORPHANS_SQL = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_lineitems,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orphan_orders,
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+   WHERE user_id NOT IN (SELECT c_custkey FROM customer)) AS orphan_events
+"""
+
+
 # ------------------------------------------------------------ profiling
 
 
@@ -866,6 +905,7 @@ QUERIES: dict[str, QuerySpec] = {
     "events_set_ops_all": QuerySpec(_set_ops_all, SET_OPS_ALL_SQL),
     "agg_grouping_sets": QuerySpec(_grouping_sets, GROUPING_SETS_SQL),
     "docs_with_embeddings": QuerySpec(_docs_with_embeddings, DOCS_EMB_SQL),
+    "audit_orphans": QuerySpec(_audit_orphans, AUDIT_ORPHANS_SQL),
     "profile_orders": QuerySpec(_profile_table, _profile_sql()),
     "tpch_q1_pricing_summary": QuerySpec(_q1_pricing_summary, Q1_SQL),
     "tpch_q14_promo_revenue": QuerySpec(_q14_promo_revenue, Q14_SQL),
