@@ -801,6 +801,59 @@ FROM p
 """
 
 
+# ------------------------------------------------------- session paths
+
+TOP_PATHS = 10
+
+
+def _session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type paths per session (sequence analytics): events
+    grouped by native session_window, the in-session sequence rebuilt
+    with array_sort over (ts, event_id) structs — deterministic without
+    relying on collect_list arrival order — then ranked globally.
+    The final top-10 is a TakeOrdered over distinct paths, not a sort
+    of the session table."""
+    e = read_table(spark, sf_dir, "events")
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
+    )
+    sessions = (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.concat_ws(">", seq).alias("path"))
+    )
+    return (
+        sessions.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(TOP_PATHS)
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events),
+f AS (
+    SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes'
+                   THEN 1 ELSE 0 END AS new_s
+    FROM o),
+g AS (
+    SELECT *, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+    FROM f),
+paths AS (
+    SELECT user_id, sess,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM g GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT {TOP_PATHS}
+"""
+
+
 # ------------------------------------------------- referential integrity
 
 
@@ -906,6 +959,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_grouping_sets": QuerySpec(_grouping_sets, GROUPING_SETS_SQL),
     "docs_with_embeddings": QuerySpec(_docs_with_embeddings, DOCS_EMB_SQL),
     "audit_orphans": QuerySpec(_audit_orphans, AUDIT_ORPHANS_SQL),
+    "events_session_paths": QuerySpec(_session_paths, SESSION_PATHS_SQL),
     "profile_orders": QuerySpec(_profile_table, _profile_sql()),
     "tpch_q1_pricing_summary": QuerySpec(_q1_pricing_summary, Q1_SQL),
     "tpch_q14_promo_revenue": QuerySpec(_q14_promo_revenue, Q14_SQL),
