@@ -457,6 +457,45 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------- TPC-H Q12 shape
+
+
+def _q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority counts by line status (TPC-H Q12 shape —
+    conditional aggregation over a join; the corpus has no shipmode
+    column, so linestatus stands in): high-priority vs other order
+    counts per status for a ship-date year."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("long").alias("high_line_count"),
+            F.sum(1 - high).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------- TPC-H Q13 shape
 
 
@@ -949,6 +988,7 @@ def _profile_sql() -> str:
 
 QUERIES: dict[str, QuerySpec] = {
     "tpch_q10_returned_items": QuerySpec(_q10_returned_items, Q10_SQL),
+    "tpch_q12_shipmode_priority": QuerySpec(_q12_shipmode_priority, Q12_SQL),
     "tpch_q13_order_distribution": QuerySpec(_q13_order_distribution, Q13_SQL),
     "tpch_q18_large_orders": QuerySpec(_q18_large_orders, Q18_SQL),
     "events_funnel": QuerySpec(_funnel, FUNNEL_SQL),
