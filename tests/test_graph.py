@@ -5,6 +5,8 @@ singletons, and the canonical-flag contract of dedup_clusters.
 
 from __future__ import annotations
 
+import pytest
+
 from trackdechets_etl_spark.operators.graph import connected_components, dedup_clusters
 
 
@@ -18,6 +20,16 @@ def test_cc_chain_needs_multiple_rounds(spark):
         for r in connected_components(pairs, "id_a", "id_b").collect()
     }
     assert labels == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20}
+
+
+def test_cc_raises_instead_of_returning_partial_labels(spark):
+    # ADVICE r1: diameter > max_iterations must be a loud error, never a
+    # silently wrong half-propagated labeling.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, "id_a", "id_b", max_iterations=2)
 
 
 def test_dedup_clusters_singletons_and_canonicals(spark):

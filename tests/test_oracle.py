@@ -47,6 +47,17 @@ def _normalize(rows, colnames):
 def test_query_matches_oracle(name, spark, duck):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, SF_DIR)
+
+    # The driver canonicalizes results through pandas sort_values, which
+    # cannot hash list/map/struct cells — registry outputs must be flat.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for field in sdf.schema.fields:
+        assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}: column {field.name} has driver-unhashable type "
+            f"{field.dataType.simpleString()}; flatten to scalars/strings"
+        )
+
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 

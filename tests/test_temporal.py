@@ -86,6 +86,50 @@ def test_range_join_boundaries_and_bucket_seams(spark):
     assert eids == [1, 2]
 
 
+def test_asof_null_payload_comes_from_latest_row_not_older(spark):
+    # ADVICE r1: a null payload cell in the latest matching right row
+    # must surface as null — not be backfilled from an older right row.
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-10T00:00:00"), "x")], "k long, t timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-05T00:00:00"), 10.0, 100),
+            (1, _ts("2024-01-09T00:00:00"), None, 101),  # latest: null v
+        ],
+        "k long, t timestamp, v double, eid long",
+    )
+    out = asof_join(left, right, "k", "k", "t", "t", ["v", "eid"], "eid")
+    r = out.collect()[0]
+    assert r["asof_eid"] == 101
+    assert r["asof_v"] is None  # from eid=101, not 10.0 from eid=100
+
+
+def test_range_join_same_key_names_and_empty_interval(spark):
+    # ADVICE r1: identically-named keys must not raise ambiguity, and
+    # empty/inverted intervals must produce no candidates.
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:02:00")),
+            (1, _ts("2024-01-01T01:00:00"), _ts("2024-01-01T01:00:00")),  # empty
+            (1, _ts("2024-01-01T02:00:00"), _ts("2024-01-01T01:00:00")),  # inverted
+        ],
+        "k long, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:30"), 1),
+            (1, _ts("2024-01-01T01:00:00"), 2),
+            (1, _ts("2024-01-01T01:30:00"), 3),
+        ],
+        "k long, ts timestamp, eid int",
+    )
+    out = range_join_bucketed(
+        left, right, "k", "k", F.col("s"), F.col("e"), "ts", bucket_seconds=60
+    )
+    assert sorted(r["eid"] for r in out.collect()) == [1]
+
+
 def test_semi_anti_partition_left(spark):
     left = spark.createDataFrame([(1,), (2,), (3,)], "id long")
     right = spark.createDataFrame([(2,), (2,), (4,)], "id long")

@@ -48,6 +48,7 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iterations):
         neighbor_labels = edges.join(
             labels.select(F.col("node").alias("v"), "label"), "v"
@@ -60,8 +61,17 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Falling through the loop would silently return half-propagated
+        # labels; a component wider than max_iterations hops must be a
+        # loud error, not a wrong answer.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (graph diameter exceeds it)"
+        )
     return labels
 
 

@@ -47,6 +47,31 @@ def merge_upsert(
     )
 
 
+_BUCKET_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+    "week": 604800,
+    "weeks": 604800,
+}
+
+
+def _bucket_seconds(bucket: str) -> int:
+    """Parse '30 minutes' / '1 hour' / '2 days' into whole seconds."""
+    parts = bucket.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit():
+        raise ValueError(f"unsupported bucket spec: {bucket!r}")
+    n, unit = int(parts[0]), parts[1].lower()
+    if unit not in _BUCKET_UNIT_SECONDS:
+        raise ValueError(f"unsupported bucket unit: {bucket!r}")
+    return n * _BUCKET_UNIT_SECONDS[unit]
+
+
 def gap_fill_grid(
     events: DataFrame,
     ts_col: str,
@@ -58,11 +83,21 @@ def gap_fill_grid(
     every bucket between the corpus min and max appears for every
     group, with zero-filled aggregates where no events landed.
 
+    Event bucketing is arithmetic — floor(epoch / width) * width — so it
+    aligns with the grid for ANY ``bucket`` width (not just '1 hour');
+    both sides derive from the same width.
+
     The grid is sequence(min_bucket, max_bucket, interval) exploded
     from a single aggregate row, cross-joined with the distinct groups
     (both tiny → broadcast); observed per-bucket aggregates left-join
     onto it. No driver loops; the only shuffle is the groupBy."""
-    bucketed = events.withColumn("__bucket", F.date_trunc("hour", F.col(ts_col)))
+    secs = _bucket_seconds(bucket)
+    bucketed = events.withColumn(
+        "__bucket",
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / secs).cast("long") * secs
+        ),
+    )
     bounds = bucketed.agg(
         F.min("__bucket").alias("lo"), F.max("__bucket").alias("hi")
     )

@@ -47,12 +47,16 @@ def asof_join(
     Union-trick implementation: one shuffle on the key, no fanout.
     """
     carried = [right_ts, *payload_cols]
+    # All carried columns travel in ONE struct with ONE
+    # last(ignorenulls=True): every attached value comes from the same
+    # right row even when individual payload cells are null (per-column
+    # carries could mix rows).
     r = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_right"),
         F.col(tie_col).alias("__tie"),
-        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("__r"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     l = left.select(
@@ -60,7 +64,7 @@ def asof_join(
         F.col(left_ts).alias("__t"),
         F.lit(0).alias("__is_right"),
         F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in carried],
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     # Right rows sort BEFORE left rows at equal ts (<= semantics), and
@@ -70,14 +74,12 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__is_right").desc(), F.col("__tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    unioned = r.unionByName(l)
-    for c in carried:
-        unioned = unioned.withColumn(
-            f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
+    unioned = r.unionByName(l).withColumn(
+        "__r", F.last("__r", ignorenulls=True).over(w)
+    )
     out = unioned.filter(F.col("__is_right") == 0).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"__r_{c}").alias(f"{prefix}{c}") for c in carried],
+        *[F.col("__r")[c].alias(f"{prefix}{c}") for c in carried],
     )
     return out
 
@@ -99,6 +101,10 @@ def range_join_bucketed(
     so no post-join dedup is needed. Returns left ⨝ right columns.
     """
     lb = left.withColumn("__start", left_start).withColumn("__end", left_end)
+    # Empty/inverted intervals can match nothing — drop them up front so
+    # sequence() never runs start > stop (which would emit a descending
+    # bucket list of spurious candidates).
+    lb = lb.filter(F.col("__end") > F.col("__start"))
     lb = lb.withColumn(
         "__bucket",
         F.explode(
@@ -113,7 +119,9 @@ def range_join_bucketed(
     )
     joined = lb.join(
         rb,
-        (F.col(f"{left_key}") == F.col(f"{right_key}")) & (lb["__bucket"] == rb["__bucket"]),
+        # Anchor key refs to their frames: identically-named keys on both
+        # sides would otherwise make the condition ambiguous.
+        (lb[left_key] == rb[right_key]) & (lb["__bucket"] == rb["__bucket"]),
         "inner",
     ).filter((F.col(right_ts) >= F.col("__start")) & (F.col(right_ts) < F.col("__end")))
     return joined.drop("__start", "__end", "__bucket")

@@ -377,10 +377,15 @@ def _emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
     norm = F.sqrt(dot(v, v))
+    # The driver's pandas-based canonicalizer cannot hash list-valued
+    # cells, so the registry query surfaces the unit vector as integer
+    # micro-units joined into one string (round(x*1e6) is exact on both
+    # engines; double->string casts are NOT engine-stable, longs are).
+    unit_micro = F.transform(v, lambda x: F.round(x / norm * 1000000).cast("long"))
     return e.select(
         "vec_id",
         F.round(norm, 6).alias("l2_norm"),
-        F.transform(v, lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+        F.concat_ws(",", unit_micro.cast("array<string>")).alias("unit_vec_micro"),
     )
 
 
@@ -389,7 +394,9 @@ WITH {_EMB},
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e)
 SELECT vec_id,
        round(norm, 6) AS l2_norm,
-       list_transform(v, x -> round(x / norm, 6)) AS unit_vec
+       array_to_string(
+           list_transform(v, x -> CAST(round(x / norm * 1000000, 0) AS BIGINT)),
+           ',') AS unit_vec_micro
 FROM n
 """
 
@@ -458,17 +465,27 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trackdechets_etl_spark.llm.similarity import label_centroids
 
     e = read_table(spark, sf_dir, "embeddings")
-    return label_centroids(e, "vec_id", "embedding", "label")
+    out = label_centroids(e, "vec_id", "embedding", "label")
+    # List cells break the driver's canonicalizer — emit the centroid as
+    # one comma-joined string of 1e4-scaled integers (centroid values are
+    # already rounded to 4 decimals, so *1e4 is exact).
+    micro = F.transform("centroid", lambda x: F.round(x * 10000).cast("long"))
+    return out.select(
+        "label",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.concat_ws(",", micro.cast("array<string>")).alias("centroid_e4"),
+    )
 
 
 LABEL_CENTROIDS_SQL = """
 WITH x AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 per_dim AS (
-    SELECT label, i, round(avg(v[i]), 4) AS a
+    SELECT label, i, CAST(round(round(avg(v[i]), 4) * 10000, 0) AS BIGINT) AS a
     FROM x, unnest(generate_series(1, 64)) AS u(i)
     GROUP BY label, i),
 counts AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors FROM x GROUP BY label)
-SELECT label, n_vectors, list(a ORDER BY i) AS centroid
+SELECT label, n_vectors,
+       array_to_string(list(a ORDER BY i), ',') AS centroid_e4
 FROM per_dim JOIN counts USING (label)
 GROUP BY label, n_vectors
 """
@@ -481,7 +498,16 @@ def _mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     mm = with_payload(d, "text", "doc_id")
     mm = frame_sample_offsets(mm, n_frames=4)
-    return mm.select("doc_id", "mm_kind", "n_bytes", "frame_offsets")
+    # frame_offsets is array<long>; join to a csv string so the driver's
+    # pandas canonicalizer can hash the cell (integers cast stably).
+    return mm.select(
+        "doc_id",
+        "mm_kind",
+        "n_bytes",
+        F.concat_ws(",", F.col("frame_offsets").cast("array<string>")).alias(
+            "frame_offsets_csv"
+        ),
+    )
 
 
 MM_META_SQL = """
@@ -493,8 +519,9 @@ WITH mm AS (
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents)
 SELECT doc_id, mm_kind, n_bytes,
-       list_slice(generate_series(0, n_bytes - 1, greatest(n_bytes // 4, 1)), 1, 4)
-           AS frame_offsets
+       array_to_string(
+           list_slice(generate_series(0, n_bytes - 1, greatest(n_bytes // 4, 1)), 1, 4),
+           ',') AS frame_offsets_csv
 FROM mm
 """
 
