@@ -108,3 +108,28 @@ def fingerprint_md5(text: Column) -> Column:
     text — the exact-dedup key at scale (16-byte key vs full text)."""
     normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
     return F.md5(normalized)
+
+
+# PII patterns shared with the DuckDB oracle — RE2/Java-regex common
+# subset only (no lookarounds, no backrefs).
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUMBER_PATTERN = r"\b\d{6,}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails and long digit runs (phone/account numbers) —
+    the standard pre-training privacy scrub. Pure regexp_replace
+    chain: JVM-side, codegen-friendly, no UDF."""
+    scrubbed = F.regexp_replace(text, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PII_NUMBER_PATTERN, "<NUM>")
+
+
+def pii_count(text: Column) -> Column:
+    """Number of redactions :func:`scrub_pii` performs on ``text``."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL_PATTERN))
+        + F.regexp_count(
+            F.regexp_replace(text, PII_EMAIL_PATTERN, "<EMAIL>"),
+            F.lit(PII_NUMBER_PATTERN),
+        )
+    ).cast("long")
