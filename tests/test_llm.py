@@ -24,7 +24,12 @@ from trackdechets_etl_spark.llm.similarity import (
     near_dup_pairs,
     topk_bruteforce,
 )
-from trackdechets_etl_spark.llm.text import lang_id, quality_features
+from trackdechets_etl_spark.llm.text import (
+    lang_id,
+    pii_count,
+    quality_features,
+    scrub_pii,
+)
 
 DOC = "the quick brown fox jumps over the lazy dog again and again ok"
 NEAR = "the quick brown fox jumps over the lazy dog again and again no"
@@ -167,3 +172,27 @@ def test_resize_payloads_subsamples_bytes(spark):
         assert bytes(got["payload"]) == want
         assert got["n_bytes"] == len(want)
         assert got["scale_den"] == 4
+
+
+def test_scrub_pii_redacts_emails_and_numbers(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.org thanks"),
+            (2, "call 0612345678 or 123456 but not 12345"),
+            (3, "clean text with no pii at all"),
+            (4, "two mails a@b.io c@d.fr and acct 99887766"),
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: (r["s"], r["n"])
+        for r in rows.select(
+            "id",
+            scrub_pii(F.col("text")).alias("s"),
+            pii_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert out[1] == ("mail me at <EMAIL> thanks", 1)
+    assert out[2] == ("call <NUM> or <NUM> but not 12345", 2)
+    assert out[3] == ("clean text with no pii at all", 0)
+    assert out[4] == ("two mails <EMAIL> <EMAIL> and acct <NUM>", 3)

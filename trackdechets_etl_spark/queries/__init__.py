@@ -93,10 +93,17 @@ _VERIFY_FIRST = [
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from trackdechets_etl_spark.queries import advanced, analytics, core, events, llm
+    from trackdechets_etl_spark.queries import (
+        advanced,
+        analytics,
+        core,
+        events,
+        llm,
+        training,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events, advanced, analytics):
+    for mod in (core, llm, events, advanced, analytics, training):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
