@@ -99,11 +99,12 @@ def all_queries() -> dict[str, QuerySpec]:
         core,
         events,
         llm,
+        tpch2,
         training,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events, advanced, analytics, training):
+    for mod in (core, llm, events, advanced, analytics, training, tpch2):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
