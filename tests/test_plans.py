@@ -96,3 +96,31 @@ def test_tfidf_broadcasts_df_table(spark):
 def test_siretisation_joins_all_broadcast(spark):
     plan = _plan(REGISTRY["pipeline_siretisation_enriched"].fn(spark, SF_DIR))
     assert plan.count("SortMergeJoin") == 0, "unexpected shuffle join in enrich chain"
+
+
+def test_q5_star_all_broadcast_no_smj(spark):
+    plan = _plan(REGISTRY["tpch_q5_local_supplier"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 5, "Q5 star dims not all broadcast"
+    assert "SortMergeJoin" not in plan, "Q5 shuffled a dim join"
+    pushed = plan.split("PushedFilters: ")[1].split("\n")[0]
+    assert "o_orderdate" in plan, "Q5 order-date filter missing from plan"
+
+
+def test_q17_decorrelated_avg_is_single_lineitem_agg(spark):
+    plan = _plan(REGISTRY["tpch_q17_small_quantity"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "Q17 part filter + per-part average should both broadcast"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_test_shingles(spark):
+    plan = _plan(REGISTRY["decontaminate_ngram_overlap"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, (
+        "test-split shingle probe should broadcast, never shuffle the train side"
+    )
+
+
+def test_vocab_prune_broadcasts_df_table(spark):
+    plan = _plan(REGISTRY["text_vocab_prune"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "document-frequency table not broadcast"

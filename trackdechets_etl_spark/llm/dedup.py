@@ -204,12 +204,13 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
     tokens = tokens.withColumn("h", F.md5(F.col("w")))
+    # nibble > 7 ⇔ hex char >= '8' (digits sort before 'a'-'f' in
+    # ASCII) — a one-char comparison instead of conv() base conversion.
     bit_sums = [
         F.sum(
-            F.when(
-                F.conv(F.substring(F.col("h"), b + 1, 1), 16, 10).cast("int") > 7,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
+            F.when(F.substring(F.col("h"), b + 1, 1) >= "8", F.lit(1)).otherwise(
+                F.lit(-1)
+            )
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]

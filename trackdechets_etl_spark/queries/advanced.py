@@ -494,14 +494,18 @@ def _agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: per market segment, the sorted
     distinct list of order priorities. ``collect_set`` arrival order is
     nondeterministic after a shuffle — ``array_sort`` makes the result
-    engine-stable (same discipline as A1's explicit window ordering)."""
+    engine-stable (same discipline as A1's explicit window ordering).
+    Surfaced as one '|'-joined string: the driver's canonicalizer
+    cannot hash array cells (see test_oracle's schema guard)."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.concat_ws(
+                "|", F.array_sort(F.collect_set("o_orderpriority"))
+            ).alias("priorities"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -509,7 +513,8 @@ def _agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_SORTED_SQL = """
 SELECT c_mktsegment,
-       list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+       array_to_string(list(DISTINCT o_orderpriority ORDER BY o_orderpriority), '|')
+           AS priorities,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1

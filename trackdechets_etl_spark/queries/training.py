@@ -240,10 +240,119 @@ FROM t
 """
 
 
+# ------------------------------------------------------------ decontamination
+
+OVERLAP_MIN = 5  # distinct shared shingles that flag contamination
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train-split docs sharing >= OVERLAP_MIN
+    distinct word 3-gram shingles with ANY test-split doc. The test-side
+    shingle set is tiny (the held-out split) -> broadcast; the join is
+    an inverted-index probe, never doc x doc."""
+    from trackdechets_etl_spark.llm.dedup import shingles
+
+    d = read_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < TRAIN_HEX, "train").when(h2 < VAL_HEX, "val").otherwise("test")
+    )
+    tagged = d.withColumn("split", split)
+    sh = shingles(tagged, "text", "doc_id")
+    tags = tagged.select("doc_id", "split")
+    sh = sh.join(F.broadcast(tags), "doc_id")
+    train_sh = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
+    test_sh = (
+        sh.filter(F.col("split") == "test").select("shingle").distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= OVERLAP_MIN)
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH tagged AS (
+    SELECT doc_id, text,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_HEX}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{VAL_HEX}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents),
+toks AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM tagged),
+sh AS (
+    SELECT DISTINCT doc_id, split, array_to_string(w[i:i+2], ' ') AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)),
+test_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh JOIN test_sh USING (shingle)
+WHERE split = 'train'
+GROUP BY doc_id
+HAVING count(*) >= {OVERLAP_MIN}
+"""
+
+# ------------------------------------------------------------ budget selection
+
+TOKEN_BUDGET = 10_000
+
+
+def _select_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget curation: take docs in (quality desc, doc_id)
+    order while the running token total stays within budget.
+
+    The global ordered window is exact-greedy and fine up to millions of
+    docs; at 100 TB the same semantics runs as two passes — a quality
+    histogram to locate the cutoff score, then a filter (+ one small
+    sort inside the boundary bucket) — documented in docs/SCALE.md."""
+    d = read_table(spark, sf_dir, "documents")
+    score = TX.quality_features(F.col("text"))["quality_score"]
+    t = d.select(
+        "doc_id",
+        score.alias("quality_score"),
+        TX.n_tokens_ws(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "quality_score", "n_tokens", "cum_tokens")
+    )
+
+
+_QUALITY_SQL = """
+SELECT doc_id,
+       round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+             + (1.0 - len(list_filter(string_split(text, ' '),
+                          x -> list_contains(['a','the','and','of','is'], x)))
+                      / len(string_split(text, ' '))) * 0.5, 4) AS quality_score,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+SELECT_QUALITY_BUDGET_SQL = f"""
+WITH t AS ({_QUALITY_SQL}),
+c AS (
+    SELECT doc_id, quality_score, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               ORDER BY quality_score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+    FROM t)
+SELECT doc_id, quality_score, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_scrub_pii": QuerySpec(_scrub_pii, SCRUB_PII_SQL),
     "text_vocab_prune": QuerySpec(_vocab_prune, VOCAB_PRUNE_SQL),
     "split_train_val_test": QuerySpec(_split_assign, SPLIT_ASSIGN_SQL),
     "sample_mixture_weighted": QuerySpec(_mixture_sample, MIXTURE_SAMPLE_SQL),
     "pack_sequences": QuerySpec(_pack_sequences, PACK_SEQUENCES_SQL),
+    "decontaminate_ngram_overlap": QuerySpec(_decontaminate, DECONTAMINATE_SQL),
+    "select_quality_budget": QuerySpec(_select_quality_budget, SELECT_QUALITY_BUDGET_SQL),
 }
