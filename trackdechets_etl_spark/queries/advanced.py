@@ -853,7 +853,17 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trackdechets_etl_spark.llm.multimodal import decode_features, with_payload
 
     d = read_table(spark, sf_dir, "documents")
-    return decode_features(with_payload(d, "text", "doc_id"), fake=True)
+    out = decode_features(with_payload(d, "text", "doc_id"), fake=True)
+    # The fake decoder's features are integer-valued (byte counts/codes);
+    # flatten to one csv string — array cells break the driver's
+    # canonicalizer, and integer→string casts are engine-stable.
+    flat = F.transform("features", lambda x: x.cast("long").cast("string"))
+    return out.select(
+        "doc_id",
+        "mm_kind",
+        "n_bytes",
+        F.concat_ws(",", flat).alias("features_csv"),
+    )
 
 
 MULTIMODAL_DECODE_SQL = """
@@ -862,12 +872,13 @@ SELECT doc_id,
             WHEN 1 THEN 'audio' ELSE 'video' END AS mm_kind,
        CAST(length(text) AS BIGINT) AS n_bytes,
        CASE WHEN length(text) = 0
-            THEN [0.0, 0.0, 0.0, 0.0]
-            ELSE [CAST(length(text) AS DOUBLE),
-                  CAST(ascii(substring(text, 1, 1)) AS DOUBLE),
-                  CAST(ascii(substring(text, length(text) // 2 + 1, 1)) AS DOUBLE),
-                  CAST(ascii(substring(text, length(text), 1)) AS DOUBLE)]
-       END AS features
+            THEN '0,0,0,0'
+            ELSE array_to_string(
+                [CAST(length(text) AS BIGINT),
+                 CAST(ascii(substring(text, 1, 1)) AS BIGINT),
+                 CAST(ascii(substring(text, length(text) // 2 + 1, 1)) AS BIGINT),
+                 CAST(ascii(substring(text, length(text), 1)) AS BIGINT)], ',')
+       END AS features_csv
 FROM documents
 """
 
