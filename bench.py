@@ -63,18 +63,23 @@ def main() -> None:
 
     # Two passes per query, keep the min: the box is shared, and a
     # single co-tenant burst can inflate one query 5-10×. Min-of-N is
-    # the standard noise floor for wall-clock microbenchmarks.
+    # the standard noise floor for wall-clock microbenchmarks. If the
+    # min still looks inflated (> RETRY_THRESHOLD), take up to two more
+    # passes — a burst long enough to poison four spaced passes is rare.
+    RETRY_THRESHOLD = 3.0
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         best = None
-        for _ in range(2):
+        passes = 0
+        while passes < 2 or (best > RETRY_THRESHOLD and passes < 4):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
+            passes += 1
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s ({passes} passes)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -164,13 +164,20 @@ def _fan_out_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFr
     return df
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool | None = None
+) -> DataFrame:
     """Load one of the driver's synthetic tables (TESTDATA.md).
 
     ``events.ts`` is TIMESTAMP(NANOS) in parquet; with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanos
     and is converted here to a microsecond timestamp (truncating, the
     same conversion DuckDB applies), keeping engine outputs comparable.
+
+    ``fan_out=True`` forces the small-scan fan-out (for fact spines
+    feeding broadcast-join pipelines, where ALL work until the first
+    aggregation runs inside the scan partitions); ``None`` auto-applies
+    it to the CPU-heavy text/vector tables only.
     """
     if name == "events":
         # Runtime-settable; applied here too so the engine works under a
@@ -180,7 +187,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if name in _CPU_HEAVY_TABLES:
+    if fan_out or (fan_out is None and name in _CPU_HEAVY_TABLES):
         df = _fan_out_small_scan(spark, df, path)
     return df
 

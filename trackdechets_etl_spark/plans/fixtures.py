@@ -114,7 +114,11 @@ FROM orders
 
 
 def installations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = read_table(spark, sf_dir, "orders")
+    # Fan out the fact spine: every consumer broadcast-joins dims onto
+    # it, so with a single-split scan the whole enrich chain (incl. the
+    # J2 name fanout) would run on one core until the first aggregation
+    # (measured at sf0.1: enriched 2.5s -> 1.0s, stats 2.9s -> 1.7s).
+    o = read_table(spark, sf_dir, "orders", fan_out=True)
     return o.select(
         F.lpad(F.col("o_custkey").cast("string"), 10, "0").alias("code_s3ic"),
         F.col("o_orderkey").cast("string").alias("inst_id"),
