@@ -917,7 +917,103 @@ FROM e
 """
 
 
+
+
+# ----------------------------------------------------- salted skew join
+
+
+def _join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment via the explicit salted join — the
+    up-front skew remedy for hot keys AQE can't split (e.g. under a
+    window). Salting is correctness-neutral: the oracle is the plain
+    join, and results must hash-match exactly."""
+    from trackdechets_etl_spark.operators.joins import salted_join
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, "custkey", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ------------------------------------------------- dict decode via join
+
+
+def _dict_decode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-join variant of the SURVEY 2.7 dictionary decode —
+    the scale path for dictionaries too large for a CASE literal. Same
+    unknown->'' / null->null contract as the map-expression form."""
+    from trackdechets_etl_spark.functions.decode import FAMILLE_IC_LABELS, decode_via_join
+    from trackdechets_etl_spark.plans import fixtures as FX
+
+    etab = FX.etablissements(spark, sf_dir)
+    mapping = spark.createDataFrame(
+        [(k, v) for k, v in FAMILLE_IC_LABELS.items()], "code string, label string"
+    )
+    out = decode_via_join(etab, "famille_ic", mapping, "famille_label")
+    return out.select("code_s3ic", "famille_ic", "famille_label")
+
+
+def _dict_decode_join_sql() -> str:
+    from trackdechets_etl_spark.functions.decode import FAMILLE_IC_LABELS, decode_case_sql
+    from trackdechets_etl_spark.plans import fixtures as FX
+
+    return f"""
+WITH etab AS ({FX.ETAB_SQL})
+SELECT code_s3ic, famille_ic,
+       {decode_case_sql('famille_ic', FAMILLE_IC_LABELS)} AS famille_label
+FROM etab
+"""
+
+
+# ------------------------------------------------- multimodal resize
+
+
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas resize path, oracle-checked on sizes: the
+    deterministic stand-in keeps every 4th byte, so the resized length
+    is exactly ceil(n/4) and SQL can verify it without the bytes."""
+    from trackdechets_etl_spark.llm.multimodal import resize_payloads, with_payload
+
+    d = read_table(spark, sf_dir, "documents")
+    out = resize_payloads(with_payload(d, "text", "doc_id"), scale_den=4)
+    return out.select(
+        "doc_id", "mm_kind", "n_bytes", F.col("scale_den").cast("long").alias("scale_den")
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS mm_kind,
+       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_bytes,
+       CAST(4 AS BIGINT) AS scale_den
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_salted_skew": QuerySpec(_join_salted_skew, JOIN_SALTED_SQL),
+    "scalar_dict_decode_join": QuerySpec(_dict_decode_join, _dict_decode_join_sql()),
+    "multimodal_resize": QuerySpec(_multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "dedup_clusters": QuerySpec(_dedup_clusters, _dedup_clusters_sql()),
     "embedding_array_stats": QuerySpec(
         _embedding_array_stats, EMBEDDING_ARRAY_STATS_SQL
