@@ -91,9 +91,13 @@ def stream_from_parquet(
     # a glob makes it resolve to the parent directory.
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet*")
     # ts arrives as long nanos (nanosAsLong; see io.readers.read_table) —
-    # convert to a microsecond timestamp before the watermark.
-    if dict(stream.dtypes).get("ts") == "bigint":
+    # convert to a microsecond timestamp before the watermark. Watermarks
+    # require TIMESTAMP (LTZ): NTZ-typed parquet timestamps must be cast.
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.withWatermark("ts", watermark)
 
 
