@@ -31,64 +31,45 @@ class QuerySpec:
 # registry. Round 1 verified the original first 50 (all green except
 # the three array-column queries fixed this round, which re-verify now).
 _VERIFY_FIRST = [
-    # r1 failures, fixed in r2 (array cells -> flat csv/scalar columns)
-    "multimodal_meta",
-    "embedding_normalize",
-    "embedding_label_centroids",
-    # never yet driver-checked (registry positions 50+ in round 1)
-    "events_moving_avg",
-    "events_tumbling_hourly",
-    "events_sliding_window",
-    "events_session_window",
-    "dedup_clusters",
-    "embedding_array_stats",
-    "multimodal_decode",
-    "sim_lsh_recall",
-    "incremental_agg",
-    "merge_upsert",
-    "events_gap_fill",
-    "pipeline_training_data",
-    "text_tfidf_topk",
-    "sample_stratified_per_group",
-    "unpivot_measures",
-    "join_null_safe",
-    "agg_conditional",
-    "agg_collect_sorted",
-    "join_asof_events",
-    "join_range_events",
-    "join_semi_anti",
-    "agg_quantiles",
-    "sample_hash_deterministic",
-    "agg_histogram",
-    "sim_ivf_topk",
-    "text_top_bigrams",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_order_distribution",
-    "tpch_q18_large_orders",
-    "events_funnel",
-    "top_supplier_per_nation",
-    "join_fuzzy_name",
-    "agg_grouping_sets",
-    "docs_with_embeddings",
-    "audit_orphans",
-    "events_session_paths",
-    "profile_orders",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "window_suite",
-    "events_range_window",
-    "date_functions",
-    "string_functions",
-    "json_extract_events",
-    "exists_subquery",
-    # deferred to the round-3 window (near-twins of r1-verified entries)
+    # never yet driver-verified after rounds 1-3 (registry positions 50+)
     "agg_cube",
-    "window_rank_ratios",
-    "revenue_share_pct",
-    "tpch_q14_promo_revenue",
+    "decontaminate_ngram_overlap",
     "events_set_ops_all",
+    "join_salted_skew",
+    "multimodal_resize",
+    "pack_sequences",
+    "revenue_share_pct",
+    "sample_mixture_weighted",
+    "scalar_dict_decode_join",
+    "select_quality_budget",
+    "split_train_val_test",
+    "text_scrub_pii",
+    "text_vocab_prune",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_rank_ratios",
+    # rows-only check (no oracle by construction)
+    "agg_coverage_stats_approx",
+    # new in round 4
+    "tpch_q2_min_price_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_waiting",
+    "events_retention_cohorts",
+    "orders_market_basket",
+    "events_scd2_validity",
+    "text_chunk_overlap",
+    "text_repetition_stats",
+    "events_rfm_segments",
 ]
 
 
@@ -99,12 +80,13 @@ def all_queries() -> dict[str, QuerySpec]:
         core,
         events,
         llm,
+        round4,
         tpch2,
         training,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events, advanced, analytics, training, tpch2):
+    for mod in (core, llm, events, advanced, analytics, training, tpch2, round4):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

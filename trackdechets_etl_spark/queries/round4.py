@@ -1,0 +1,312 @@
+"""Round-4 operator additions: cohort/retention analytics, market-basket
+self-join, SCD2 validity intervals, document chunking, intra-document
+repetition stats, and RFM segmentation.
+
+These widen the engine beyond the reference's ETL surface (the
+reference has none of these — designed extensions in the spirit of
+SURVEY §7/M6) with shapes a 100 TB training-data or product-analytics
+pipeline needs: windowed change detection, self-join co-occurrence,
+overlapping text chunking for context-window packing, and quantile
+bucketing.
+
+Scale notes per query are inline; the common rules: facts are never
+broadcast, every self-join is projected to its key columns first, and
+window functions partition on high-cardinality keys (user_id, doc_id)
+so state per partition stays small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.queries import QuerySpec
+
+# ---------------------------------------------------- retention cohorts
+
+
+def _events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen day
+    (cohort), counted per whole-week offset they return in. Two
+    aggregations over events: per-user min(date) (map-side combinable),
+    then distinct users per (cohort, offset). At scale the per-user min
+    is a 1-row-per-user shuffle; the final agg is tiny."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_day")) / 7).cast("long"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)
+SELECT cohort_day,
+       CAST(floor((ev.d - first.cohort_day) / 7) AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN first ON ev.user_id = first.user_id
+GROUP BY cohort_day, week_offset
+"""
+
+
+# ---------------------------------------------------- market basket
+
+
+def _orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-occurring part pairs across orders — the classic
+    market-basket self-join. The fact is projected to DISTINCT
+    (orderkey, partkey) BEFORE the self-join (shrinks both sides and
+    kills duplicate-line fanout); the join shuffles both sides on
+    l_orderkey (same key → one co-partitioning); pairs are oriented
+    p1 < p2 so each pair counts once. Deterministic top-k: count desc,
+    then pair ids."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(20)
+    )
+
+
+BASKET_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, p1, p2
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------- SCD2 validity
+
+
+def _events_scd2_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log: per
+    user, consecutive runs of the same event_type collapse to one
+    version row with [valid_from, valid_to) bounds (valid_to null for
+    the open current version). Change detection = lag() over
+    (user_id, ts, event_id); interval close = lead() on the change
+    rows. Both windows partition by user_id — state is one user's
+    events, never the whole log. Restricted to user_id < 50 to keep
+    the verified output compact."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        (F.row_number().over(w2)).cast("long").alias("version"),
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER w AS prev_type
+    FROM events WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+changes AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev_type IS NULL OR event_type <> prev_type)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       CAST(row_number() OVER w2 AS BIGINT) AS version
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------- text chunking
+
+_CHUNK_SIZE = 500
+_CHUNK_STEP = 400
+
+
+def _text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width character chunks (size 500, stride 400)
+    for context-window packing — the chunk table a training pipeline
+    feeds the tokenizer. All native expressions: sequence() builds the
+    chunk starts, posexplode fans out, substring slices. One narrow
+    map stage, no shuffle at all; at 100 TB this runs entirely
+    pipelined with the parquet scan. Chunk identity = md5 of the slice
+    (dedupable downstream)."""
+    docs = read_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - 1, F.lit(0)),
+        F.lit(_CHUNK_STEP),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(starts).alias("chunk_id", "start"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.substring(F.col("text"), F.col("start") + 1, _CHUNK_SIZE).alias(
+                "chunk"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.length("chunk").cast("long").alias("chunk_len"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+    )
+
+
+CHUNK_SQL = f"""
+WITH starts AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                  {_CHUNK_STEP})) AS start
+    FROM documents),
+chunks AS (
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STEP} AS BIGINT) AS chunk_id,
+           substring(text, CAST(start + 1 AS INT), {_CHUNK_SIZE}) AS chunk
+    FROM starts)
+SELECT doc_id, chunk_id,
+       CAST(length(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM chunks
+"""
+
+
+# ---------------------------------------------------- repetition stats
+
+
+def _text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition profile: token count, distinct-token
+    count, distinct ratio, and the dominant token's share — the
+    standard 'repetitive junk' quality gate in corpus cleaning. One
+    explode + two-level aggregation; the per-(doc, token) partial agg
+    is map-side combinable, so the shuffle carries one row per distinct
+    (doc, token), not one per token occurrence."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_token = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_token.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("n"), 4).alias("distinct_ratio"),
+        F.round(F.max("n") / F.sum("n"), 4).alias("top_token_share"),
+    )
+
+
+REPETITION_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+per_token AS (
+    SELECT doc_id, token, count(*) AS n FROM tok GROUP BY doc_id, token)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(count(*) / CAST(sum(n) AS DOUBLE), 4) AS distinct_ratio,
+       round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_token_share
+FROM per_token
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------- RFM segments
+
+
+def _events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation: recency (days since last event, vs the
+    corpus max), frequency (event count), monetary (value sum), each
+    quartiled with ntile(4) under a deterministic total order
+    (metric, then user_id). Per-user rollup is one shuffle; the three
+    ntile windows run over the (small) per-user frame. At 100 TB the
+    per-user frame is ~users-sized — if even that is too big for one
+    window partition, swap ntile for approx-percentile bucketing."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor_day"))
+    base = per_user.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.col("anchor_day"), F.col("last_day")).cast("long"),
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.desc("frequency"), "user_id")
+    wm = Window.orderBy(F.desc("monetary"), "user_id")
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    )
+
+
+RFM_SQL = """
+WITH per_user AS (
+    SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+           count(*) AS frequency, round(sum(value), 2) AS monetary
+    FROM events GROUP BY user_id),
+anchor AS (SELECT max(CAST(ts AS DATE)) AS anchor_day FROM events)
+SELECT user_id,
+       CAST(anchor_day - last_day AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       monetary,
+       CAST(ntile(4) OVER (ORDER BY anchor_day - last_day, user_id) AS BIGINT)
+           AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+           AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+           AS m_quartile
+FROM per_user, anchor
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_retention_cohorts": QuerySpec(_events_retention_cohorts, RETENTION_SQL),
+    "orders_market_basket": QuerySpec(_orders_market_basket, BASKET_SQL),
+    "events_scd2_validity": QuerySpec(_events_scd2_validity, SCD2_SQL),
+    "text_chunk_overlap": QuerySpec(_text_chunk_overlap, CHUNK_SQL),
+    "text_repetition_stats": QuerySpec(_text_repetition_stats, REPETITION_SQL),
+    "events_rfm_segments": QuerySpec(_events_rfm_segments, RFM_SQL),
+}

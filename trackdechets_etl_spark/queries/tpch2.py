@@ -448,7 +448,231 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------- q2
+
+
+def _q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each part in a (size, type) bucket, the supplier(s)
+    offering the minimum price within one region — the correlated-min
+    scalar subquery, decorrelated into a per-part window min (exactly
+    Catalyst's rewrite). Adapted: no partsupp, so 'offer price' is the
+    minimum observed unit price (l_extendedprice / l_quantity) of that
+    supplier's lineitems for the part — min-of-existing-doubles, exact
+    under any aggregation order (no float-sum nondeterminism)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("price"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("__min", F.min("price").over(w))
+        .filter(F.col("price") == F.col("__min"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("price", 4).alias("min_price"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+    SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+           min(l_extendedprice / l_quantity) AS price
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_type = 'STANDARD' AND p_size <= 10 AND r_name = 'EUROPE'
+    GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name)
+SELECT s_acctbal, s_name, n_name, p_partkey, round(price, 4) AS min_price
+FROM offers o
+WHERE price = (SELECT min(price) FROM offers o2 WHERE o2.p_partkey = o.p_partkey)
+"""
+
+
+# ---------------------------------------------------------------- q11
+
+
+def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose value held by one nation's suppliers
+    exceeds a fraction of that nation's total — group-by + HAVING
+    against a scalar subquery (broadcast single-row cross join).
+    Adapted: no partsupp, so 'value' is shipped revenue
+    (sum of l_extendedprice) instead of supplycost * availqty."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    base = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("__value")
+    )
+    total = per_part.agg((F.sum("__value") * 0.001).alias("__thresh"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") > F.col("__thresh"))
+        .select("l_partkey", F.round("__value", 2).alias("part_value"))
+    )
+
+
+Q11_SQL = """
+WITH base AS (
+    SELECT l_partkey, l_extendedprice
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'),
+per_part AS (
+    SELECT l_partkey, sum(l_extendedprice) AS value
+    FROM base GROUP BY l_partkey)
+SELECT l_partkey, round(value, 2) AS part_value
+FROM per_part
+WHERE value > (SELECT sum(value) * 0.001 FROM per_part)
+"""
+
+
+# ---------------------------------------------------------------- q20
+
+
+def _q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers in one nation with 'excess stock' of
+    name-matched parts — nested semi-join chain (part names → per
+    (supplier, part) quantity threshold → suppliers). Adapted: no
+    partsupp availqty, so the threshold is total shipped quantity of
+    that part by that supplier > 100 units."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 100.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 100.0)
+"""
+
+
+# ---------------------------------------------------------------- q21
+
+
+def _q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers in one nation who were the SOLE late
+    supplier on a multi-supplier finished order — EXISTS (another
+    supplier on the order) + NOT EXISTS (another late supplier), i.e.
+    a semi-join and an anti-join with inequality conditions on top of
+    the fact join. Adapted: 'late' = shipped more than 60 days after
+    the order date (corpus has no commit/receipt dates).
+
+    Scale notes: the two existence probes join lineitem to itself on
+    l_orderkey — the probe sides are projected to (orderkey, suppkey)
+    before the shuffle, and the late probe is pre-filtered by the same
+    late predicate, so each side is a fraction of the fact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+
+    l1 = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+    )
+    return (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "tpch_q2_min_price_supplier": QuerySpec(_q2_min_price_supplier, Q2_SQL),
+    "tpch_q11_important_stock": QuerySpec(_q11_important_stock, Q11_SQL),
+    "tpch_q20_potential_promotion": QuerySpec(_q20_potential_promotion, Q20_SQL),
+    "tpch_q21_suppliers_waiting": QuerySpec(_q21_suppliers_waiting, Q21_SQL),
     "tpch_q4_order_priority": QuerySpec(_q4_order_priority, Q4_SQL),
     "tpch_q5_local_supplier": QuerySpec(_q5_local_supplier, Q5_SQL),
     "tpch_q7_volume_shipping": QuerySpec(_q7_volume_shipping, Q7_SQL),
