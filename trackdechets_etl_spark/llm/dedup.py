@@ -45,14 +45,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+    ``array_distinct`` dedups within the doc BEFORE the explode, so the
+    output is already (id, shingle)-distinct — no post-explode
+    ``.distinct()`` (that would be a redundant full shuffle of the
+    exploded table)."""
     ws = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .distinct()
-    )
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def _pair_jaccard(sh: DataFrame, id_col: str, candidates: DataFrame | None = None) -> DataFrame:
@@ -63,7 +64,14 @@ def _pair_jaccard(sh: DataFrame, id_col: str, candidates: DataFrame | None = Non
     candidate pairs against the shingle table (two key joins) instead of
     the full inverted-index self-join — the self-join is O(Σ df²) over
     shingle document-frequencies, the candidate expansion is
-    O(|candidates| × shingles/doc)."""
+    O(|candidates| × shingles/doc).
+
+    Shingles are re-keyed to ``xxhash64`` longs before any join: the
+    shuffle moves 8-byte keys instead of ~25-byte strings and the join
+    compares longs. Intersection counts are unchanged unless two
+    distinct shingles of the same doc pair collide in 64 bits
+    (p ≈ n²/2^65 — negligible at any realistic shingle count)."""
+    sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
