@@ -134,6 +134,34 @@ def test_stream_static_enrich_equals_batch(spark):
     assert got == want
 
 
+def test_stream_stream_attribution_join_equals_batch(spark):
+    """Stream-stream inner join with watermarks on both sides and a
+    time-range condition (bounded state): the streaming result over the
+    full input equals the batch join."""
+    from trackdechets_etl_spark.streaming.events import attribution_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purchases = split(stream_from_parquet(spark, SF_DIR, "2 hours"))
+    joined = attribution_join(s_clicks, s_purchases)
+    _drain(joined, "t_ssjoin", mode="append")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    }
+
+    b_clicks, b_purchases = split(read_table(spark, SF_DIR, "events"))
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in attribution_join(b_clicks, b_purchases).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     """foreachBatch sink pattern: each micro-batch lands as parquet via
     an arbitrary batch function — the escape hatch for sinks without a

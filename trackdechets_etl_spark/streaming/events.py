@@ -150,6 +150,45 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's click within ``horizon`` before it.
+
+    The time-range condition (purchase_ts in [click_ts, click_ts +
+    horizon]) plus watermarks on BOTH inputs is what makes the join
+    state bounded: the engine drops buffered clicks once the purchase
+    watermark passes click_ts + horizon, and vice versa. Without the
+    range condition Spark would buffer both streams forever. Works
+    identically on static frames (the batch twin the tests compare
+    against)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion into an in-memory table
     using availableNow (processes all available input then stops)."""
