@@ -124,3 +124,41 @@ def test_decontaminate_broadcasts_test_shingles(spark):
 def test_vocab_prune_broadcasts_df_table(spark):
     plan = _plan(REGISTRY["text_vocab_prune"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, "document-frequency table not broadcast"
+
+
+def test_chunk_overlap_is_shuffle_free(spark):
+    """Chunking must stay a narrow map pipeline over the scan."""
+    plan = _plan(REGISTRY["text_chunk_overlap"].fn(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan, (
+        "chunking introduced a shuffle — it should be scan-pipelined"
+    )
+
+
+def test_q21_probes_are_semi_and_anti(spark):
+    plan = _plan(REGISTRY["tpch_q21_suppliers_waiting"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, "Q21 other-supplier probe should be a semi join"
+    assert "LeftAnti" in plan, "Q21 other-late probe should be an anti join"
+
+
+def test_market_basket_self_join_single_key_copartition(spark):
+    """Both self-join sides hash on l_orderkey; no broadcast of the
+    fact side (it must stay a shuffled co-partitioned join at scale
+    even if AQE could broadcast at sf0.001)."""
+    plan = _plan(REGISTRY["orders_market_basket"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k should be TakeOrderedAndProject, not a global sort + limit"
+    )
+
+
+def test_scd2_windows_partition_by_user(spark):
+    plan = _plan(REGISTRY["events_scd2_validity"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1, (
+        "SCD2's lag + lead windows share (user_id) partitioning — one shuffle"
+    )
+
+
+def test_q2_offer_min_uses_window_over_aggregate(spark):
+    plan = _plan(REGISTRY["tpch_q2_min_price_supplier"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, "Q2 dims should broadcast"
+    assert plan.count("BroadcastHashJoin") >= 4
