@@ -103,3 +103,44 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_big = len(list((tmp_path / "compacted").rglob("*.parquet")))
     assert n_big == n_parts <= 4
     assert spark.read.parquet(dest).count() == e.count()
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """Z-ordered files cover compact ranges of BOTH cluster columns:
+    the mean per-file (max-min) span of each column must be far below
+    the global span (single-column sorting can only achieve this for
+    one column; round-robin for none)."""
+    from trackdechets_etl_spark.io.writers import write_zordered
+
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=32)
+    rpath = str(tmp_path / "roundrobin")
+    li.repartition(32).write.parquet(rpath)
+
+    def mean_spans(path):
+        df = spark.read.parquet(path).withColumn(
+            "f", F.input_file_name()
+        )
+        spans = df.groupBy("f").agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("so"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("sp"),
+        )
+        r = spans.agg(F.avg("so").alias("o"), F.avg("sp").alias("p")).collect()[0]
+        return r.o, r.p
+
+    g = li.agg(
+        (F.max("l_orderkey") - F.min("l_orderkey")).alias("o"),
+        (F.max("l_partkey") - F.min("l_partkey")).alias("p"),
+    ).collect()[0]
+    zo, zp = mean_spans(zpath)
+    ro, rp = mean_spans(rpath)
+    # round-robin files span ~the whole domain on both columns
+    assert ro > 0.9 * g.o and rp > 0.9 * g.p
+    # z-ordered files are clustered on both (≤ ~40% of the domain each)
+    assert zo < 0.4 * g.o, f"orderkey not clustered: {zo} vs {g.o}"
+    assert zp < 0.4 * g.p, f"partkey not clustered: {zp} vs {g.p}"
+    # and nothing was lost
+    assert spark.read.parquet(zpath).count() == li.count()

@@ -74,6 +74,77 @@ def compact_parquet(
     return n_parts
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) sort key over 2+ numeric columns, as a pure
+    native column expression.
+
+    Each column is min-max quantized to ``bits`` bits (the min/max come
+    from a tiny 1-row aggregate joined back via broadcast), then the
+    bit planes are interleaved: column j contributes its b-th bit at
+    position ``b * n_cols + j``. Sorting by the interleaved key gives
+    multi-dimensional locality — parquet row-group min/max stats stay
+    tight on EVERY z-ordered column, so scans filtered on any of them
+    prune row groups. Single-column sorting only prunes its own column;
+    this is the standard lakehouse answer (Delta/Iceberg ``OPTIMIZE
+    ZORDER BY``) re-expressed with plain Spark expressions.
+
+    Returns (df_with_mins_joined, key_column) — callers typically pass
+    straight to :func:`write_zordered`.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+        ]
+    ranges = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(ranges))
+    n = len(cols)
+    max_bucket = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        span = F.col(f"__max_{c}") - F.col(f"__min_{c}")
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"__min_{c}")) / span).otherwise(
+            F.lit(0.0)
+        )
+        bucket = F.least(
+            F.floor(frac * (max_bucket + 1)).cast("long"), F.lit(max_bucket)
+        )
+        for b in range(bits):
+            key = key + (
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)), b * n + j
+                )
+            )
+    return out, key.alias("__zkey")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Z-order key of ``cols``:
+    range-partition on the key (one skew-balanced shuffle), sort within
+    partitions, drop the helper columns. Every output file then covers
+    a compact hyper-rectangle of the key space — min/max pruning works
+    for filters on any of the z-ordered columns."""
+    keyed, key = zorder_key(df, cols, bits)
+    keyed = keyed.withColumn("__zkey", key)
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
     """S8: CSV sink (reference ``dags/publish-open-data.py:58``)."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
