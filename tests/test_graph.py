@@ -41,3 +41,23 @@ def test_dedup_clusters_singletons_and_canonicals(spark):
     assert out[1]["cluster_id"] == 1 and out[1]["cluster_size"] == 1
     canonicals = sorted(k for k, r in out.items() if r["is_canonical"])
     assert canonicals == [0, 1, 2, 4]
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    """With every node having out-edges, total rank mass stays 1 after
+    any number of iterations: sum_new = (1-d) + d * sum_prev. All ranks
+    strictly positive; higher-degree nodes (suppliers, offset ids) rank
+    above the customer median."""
+    from pyspark.sql import functions as F
+
+    from trackdechets_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    pr = all_queries()["graph_pagerank"].fn(spark, SF_DIR)
+    rows = pr.collect()
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    assert all(r.rank > 0 for r in rows)
+    supp = [r.rank for r in rows if r.node >= 1_000_000]
+    cust = sorted(r.rank for r in rows if r.node < 1_000_000)
+    assert supp and min(supp) > cust[len(cust) // 2]

@@ -104,3 +104,46 @@ def dedup_clusters(
             (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the second iterative
+    graph operator (besides connected components) a dedup/linking
+    pipeline needs (e.g. ranking canonical docs inside a near-dup
+    cluster by link mass).
+
+    Fixed ``iterations`` (not convergence-tested) keeps the result
+    deterministic and oracle-checkable: the DuckDB twin unrolls the same
+    K steps as chained CTEs. Per iteration: one join (edge src →
+    current rank), one groupBy(dst) sum — a single shuffle, the same
+    budget as one connected-components round. Out-degrees are computed
+    once and pre-joined onto the edges, so the loop body never
+    recomputes them. ``localCheckpoint`` truncates the growing lineage
+    each round (same discipline as :func:`connected_components`).
+
+    Assumes every node has at least one outgoing edge (true for
+    symmetrized graphs); dangling-node redistribution is out of scope.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        contribs = e_deg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+        ranks = (
+            contribs.groupBy("dst")
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -70,6 +70,8 @@ _VERIFY_FIRST = [
     "text_chunk_overlap",
     "text_repetition_stats",
     "events_rfm_segments",
+    "graph_pagerank",
+    "diag_key_skew",
 ]
 
 

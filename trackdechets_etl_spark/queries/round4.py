@@ -302,6 +302,110 @@ FROM per_user, anchor
 """
 
 
+# ---------------------------------------------------- pagerank
+
+_PR_ITER = 5
+_PR_DAMP = 0.85
+_SUPP_OFFSET = 1_000_000
+
+
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer↔supplier trade graph
+    (distinct (o_custkey, l_suppkey) pairs from orders⨝lineitem;
+    supplier ids offset so the node space is disjoint). Fixed 5
+    iterations, damping 0.85 — deterministic, matched step-for-step by
+    the unrolled CTE oracle."""
+    from trackdechets_etl_spark.operators.graph import pagerank
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    edges = raw.select(
+        F.col("cust").alias("src"), (F.col("supp") + _SUPP_OFFSET).alias("dst")
+    ).unionByName(
+        raw.select(
+            (F.col("supp") + _SUPP_OFFSET).alias("src"), F.col("cust").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, iterations=_PR_ITER, damping=_PR_DAMP)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pr_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, _PR_ITER + 1):
+        steps.append(
+            f"r{k} AS (SELECT e.dst AS node, "
+            f"(SELECT {1 - _PR_DAMP} / n FROM nn) + {_PR_DAMP} * "
+            f"sum({prev}.rank / deg.d) AS rank "
+            f"FROM edges e JOIN {prev} ON e.src = {prev}.node "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst)"
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH eraw AS (
+    SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+    SELECT cust AS src, supp + {_SUPP_OFFSET} AS dst FROM eraw
+    UNION ALL
+    SELECT supp + {_SUPP_OFFSET} AS src, cust AS dst FROM eraw),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+{chain}
+SELECT node, round(rank, 6) AS rank FROM r{_PR_ITER}
+"""
+
+
+PAGERANK_SQL = _pr_oracle()
+
+
+# ---------------------------------------------------- key-skew diagnostic
+
+
+def _diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler: the top-10 heaviest join/agg keys with
+    their share of total rows — the first thing to run before choosing
+    salting factors or AQE skew thresholds on a new dataset. One
+    groupBy + a broadcast 1-row total; top-k via TakeOrderedAndProject
+    (never a global sort)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = per_key.agg(F.sum("n_rows").alias("__total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total") * 100.0, 4).alias("pct_rows"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(10)
+    )
+
+
+KEY_SKEW_SQL = """
+WITH per_key AS (
+    SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_suppkey)
+SELECT key, n_rows,
+       round(n_rows / (SELECT CAST(sum(n_rows) AS DOUBLE) FROM per_key) * 100.0, 4)
+           AS pct_rows
+FROM per_key
+ORDER BY n_rows DESC, key
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_retention_cohorts": QuerySpec(_events_retention_cohorts, RETENTION_SQL),
     "orders_market_basket": QuerySpec(_orders_market_basket, BASKET_SQL),
@@ -309,4 +413,6 @@ QUERIES: dict[str, QuerySpec] = {
     "text_chunk_overlap": QuerySpec(_text_chunk_overlap, CHUNK_SQL),
     "text_repetition_stats": QuerySpec(_text_repetition_stats, REPETITION_SQL),
     "events_rfm_segments": QuerySpec(_events_rfm_segments, RFM_SQL),
+    "graph_pagerank": QuerySpec(_graph_pagerank, PAGERANK_SQL),
+    "diag_key_skew": QuerySpec(_diag_key_skew, KEY_SKEW_SQL),
 }
