@@ -147,3 +147,55 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def climb_to_root(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iterations: int = 30,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Resolve every node in a (child, parent) forest to its root, with
+    depth — the hierarchy-traversal Spark has no recursive CTE for
+    (org charts, BOM explosion, category trees).
+
+    Iterative pointer-chasing: state (node, cur, depth) climbs one
+    parent hop per round; a node whose ``cur`` has no parent row is at
+    its root. One join + checkpoint per round, rounds = tree height
+    (NOT total nodes — each round advances every node in parallel; for
+    path-compression at web scale switch to pointer doubling, same
+    skeleton, O(log h) rounds). The driver-side stop check reads a
+    single count per round, like :func:`connected_components`.
+    """
+    e = edges.select(F.col(child).alias("cur"), F.col(parent).alias("nxt"))
+    e = e.localCheckpoint(eager=True)
+    if nodes is None:
+        # Default node universe: edge endpoints. Isolated nodes (roots
+        # with no children) exist in many forests — pass ``nodes``
+        # explicitly to include them with depth 0.
+        nodes = (
+            e.select(F.col("cur").alias("node"))
+            .unionByName(e.select(F.col("nxt").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.toDF("node").distinct()
+    state = nodes.select("node", F.col("node").alias("cur"), F.lit(0).alias("depth"))
+    for _ in range(max_iterations):
+        joined = state.join(e, "cur", "left")
+        moved = joined.filter(F.col("nxt").isNotNull())
+        if moved.limit(1).count() == 0:
+            break
+        state = joined.select(
+            "node",
+            F.coalesce("nxt", "cur").alias("cur"),
+            (F.col("depth") + F.when(F.col("nxt").isNotNull(), 1).otherwise(0)).alias(
+                "depth"
+            ),
+        ).localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"climb_to_root: tree deeper than {max_iterations} levels (or cyclic)"
+        )
+    return state.select("node", F.col("cur").alias("root"), F.col("depth").cast("long").alias("depth"))

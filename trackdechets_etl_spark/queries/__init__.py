@@ -72,6 +72,8 @@ _VERIFY_FIRST = [
     "events_rfm_segments",
     "graph_pagerank",
     "diag_key_skew",
+    "hierarchy_roots",
+    "events_sessionize_ids",
 ]
 
 

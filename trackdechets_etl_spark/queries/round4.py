@@ -406,6 +406,91 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------- hierarchy climb
+
+
+def _hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal: customers form a 10-ary forest (parent of k
+    is k div 10; k < 10 are roots); every node resolved to (root,
+    depth) by iterative pointer-chasing — what engines with recursive
+    CTEs express as WITH RECURSIVE, re-expressed as bounded-round
+    DataFrame iteration (the DuckDB oracle IS the recursive CTE)."""
+    from trackdechets_etl_spark.operators.graph import climb_to_root
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    edges = c.filter(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("child"),
+        F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+    )
+    return climb_to_root(edges, nodes=c)
+
+
+HIERARCHY_SQL = """
+WITH RECURSIVE walk(node, cur, depth) AS (
+    SELECT c_custkey, c_custkey, 0 FROM customer
+    UNION ALL
+    SELECT node, cur // 10, depth + 1 FROM walk WHERE cur >= 10)
+SELECT node, cur AS root, CAST(depth AS BIGINT) AS depth
+FROM walk WHERE cur < 10
+"""
+
+
+# ---------------------------------------------------- lag-gap sessionize
+
+_SESSION_GAP_MIN = 30
+
+
+def _events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with explicit session ids: a session breaks
+    after 30 min of per-user inactivity; session_id = running count of
+    breaks (lag + cumulative sum over ONE (user_id, ts) window — both
+    functions share the partitioning, so one shuffle). The complement
+    of the native session_window operator: this form yields stable ids
+    usable as join keys."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts may arrive as TIMESTAMP_NTZ; route through TIMESTAMP for epoch
+    # seconds (session tz is UTC, matching DuckDB's epoch() on naive ts).
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(
+        (epoch - F.lag(epoch).over(w)) > _SESSION_GAP_MIN * 60,
+        1,
+    ).otherwise(0)
+    with_ids = ev.withColumn(
+        "session_id",
+        F.sum(gap).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return with_ids.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {_SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ids AS (
+    SELECT user_id, ts,
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+    FROM flagged)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM ids
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_retention_cohorts": QuerySpec(_events_retention_cohorts, RETENTION_SQL),
     "orders_market_basket": QuerySpec(_orders_market_basket, BASKET_SQL),
@@ -415,4 +500,6 @@ QUERIES: dict[str, QuerySpec] = {
     "events_rfm_segments": QuerySpec(_events_rfm_segments, RFM_SQL),
     "graph_pagerank": QuerySpec(_graph_pagerank, PAGERANK_SQL),
     "diag_key_skew": QuerySpec(_diag_key_skew, KEY_SKEW_SQL),
+    "hierarchy_roots": QuerySpec(_hierarchy_roots, HIERARCHY_SQL),
+    "events_sessionize_ids": QuerySpec(_events_sessionize_ids, SESSIONIZE_SQL),
 }
