@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "diag_key_skew",
     "hierarchy_roots",
     "events_sessionize_ids",
+    "events_anomaly_zscore",
 ]
 
 

@@ -491,6 +491,48 @@ GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------- anomaly z-score
+
+
+def _events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts per type, z-scored
+    against that type's own mean/stddev; emit hours with |z| >= 2.
+    Two cheap aggregations (hourly rollup, then per-type moments
+    broadcast back) — the streaming twin would maintain the moments as
+    running state and score each closing window."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    moments = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("__mu"),
+        F.stddev_pop("n_events").alias("__sigma"),
+    )
+    z = (F.col("n_events") - F.col("__mu")) / F.col("__sigma")
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select("event_type", "hour", "n_events", "z")
+    )
+
+
+ANOMALY_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2),
+moments AS (
+    SELECT event_type, avg(n_events) AS mu, stddev_pop(n_events) AS sigma
+    FROM hourly GROUP BY event_type)
+SELECT h.event_type, h.hour, h.n_events,
+       round((h.n_events - m.mu) / m.sigma, 4) AS z
+FROM hourly h JOIN moments m ON h.event_type = m.event_type
+WHERE abs(round((h.n_events - m.mu) / m.sigma, 4)) >= 2.0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_retention_cohorts": QuerySpec(_events_retention_cohorts, RETENTION_SQL),
     "orders_market_basket": QuerySpec(_orders_market_basket, BASKET_SQL),
@@ -502,4 +544,5 @@ QUERIES: dict[str, QuerySpec] = {
     "diag_key_skew": QuerySpec(_diag_key_skew, KEY_SKEW_SQL),
     "hierarchy_roots": QuerySpec(_hierarchy_roots, HIERARCHY_SQL),
     "events_sessionize_ids": QuerySpec(_events_sessionize_ids, SESSIONIZE_SQL),
+    "events_anomaly_zscore": QuerySpec(_events_anomaly_zscore, ANOMALY_SQL),
 }
