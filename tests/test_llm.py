@@ -196,3 +196,22 @@ def test_scrub_pii_redacts_emails_and_numbers(spark):
     assert out[2] == ("call <NUM> or <NUM> but not 12345", 2)
     assert out[3] == ("clean text with no pii at all", 0)
     assert out[4] == ("two mails <EMAIL> <EMAIL> and acct <NUM>", 3)
+
+
+def test_prefix_filter_jaccard_equals_naive(spark):
+    """AllPairs prefix filtering must be lossless: identical pair set
+    and jaccard values as the full inverted-index self-join."""
+    from trackdechets_etl_spark.io.readers import read_table
+    from trackdechets_etl_spark.llm.dedup import ngram_jaccard_pairs
+    from tests.conftest import SF_DIR
+
+    d = read_table(spark, SF_DIR, "documents")
+    fast = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "text", "doc_id", 0.8, prefix_filter=True).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "text", "doc_id", 0.8, prefix_filter=False).collect()
+    }
+    assert fast == naive and len(naive) > 0

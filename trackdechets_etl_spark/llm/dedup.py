@@ -118,13 +118,27 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     n: int = 3,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """All doc pairs with word-n-gram Jaccard ≥ threshold.
+    """All doc pairs with word-n-gram Jaccard ≥ threshold — EXACT output
+    (the DuckDB oracle is the naive full self-join).
+
+    ``prefix_filter=True`` enables AllPairs/PPJoin-style prefix
+    filtering: under any global total order on shingles (here: their
+    xxhash64 value), two docs with J ≥ t MUST share a shingle within
+    each one's first ``|d| - ceil(t*|d|) + 1`` shingles. Only those
+    prefixes enter the inverted-index self-join, shrinking it by
+    ~(1-t)² (25× at t=0.8); a size-ratio filter (min/max ≥ t, another
+    Jaccard necessary condition) prunes candidates further, and exact
+    Jaccard verification runs on the surviving pairs only. Same
+    result set, provably — the epsilon slack on both float boundaries
+    keeps the guarantee despite binary-decimal rounding of t.
 
     ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before the self-join — the skew guard for the inverted-index
-    explosion at scale (a stopword shingle shared by 1M docs would
-    otherwise produce 10^12 candidate rows).
+    docs before indexing — the skew guard for web-scale hot shingles
+    (a stopword shingle shared by 1M docs would otherwise produce
+    10^12 candidate rows). Note it changes semantics (documented in
+    the oracle when used).
     """
     sh = shingles(df, text_col, id_col, n)
     if max_shingle_df is not None:
@@ -133,7 +147,43 @@ def ngram_jaccard_pairs(
             sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "shingle")
             .drop("df")
         )
-    return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+    if not prefix_filter:
+        return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+
+    keyed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("k"))
+    sizes = keyed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy(id_col).orderBy("k")
+    # prefix length |d| - ceil(t*|d|) + 1; the 1e-9 keeps ceil from
+    # rounding an exactly-integral t*|d| UP on its binary representation
+    # (which would shorten the prefix and break the no-loss guarantee).
+    pref = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__rn")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+            + 1
+        )
+    )
+    a = pref.select(F.col(id_col).alias("id_a"), "k", F.col("n_sh").alias("n_a"))
+    b = pref.select(F.col(id_col).alias("id_b"), "k", F.col("n_sh").alias("n_b"))
+    candidates = (
+        a.join(b, "k")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size-ratio necessary condition: J ≤ min/max
+            & (
+                F.least("n_a", "n_b")
+                >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, id_col, candidates).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = N_MINHASH) -> DataFrame:
