@@ -75,6 +75,8 @@ _VERIFY_FIRST = [
     "hierarchy_roots",
     "events_sessionize_ids",
     "events_anomaly_zscore",
+    "diff_snapshots",
+    "dq_rule_violations",
 ]
 
 

@@ -533,6 +533,126 @@ WHERE abs(round((h.n_events - m.mu) / m.sigma, 4)) >= 2.0
 """
 
 
+# ---------------------------------------------------- snapshot diff
+
+_DIFF_CUT = "1997-01-01"
+
+
+def _diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff — the audit step of any incremental ETL:
+    full-outer join two snapshots on the key, compare a value
+    fingerprint, emit added / removed / changed rows with both values.
+    Here the 'old' snapshot is orders before the cutoff and the 'new'
+    one is pre-cutoff orders with shifted totals for a deterministic
+    slice (keys % 97 == 0) plus post-cutoff orders (the inserts).
+    One co-partitioned shuffle; at scale both snapshots bucketed on the
+    key make it shuffle-free."""
+    o = read_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit(_DIFF_CUT)).select(
+        F.col("o_orderkey").alias("key"),
+        F.round("o_totalprice", 2).alias("old_total"),
+    )
+    new = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.round(
+            F.when(
+                (F.col("o_orderdate") < F.lit(_DIFF_CUT))
+                & (F.col("o_orderkey") % 97 == 0),
+                F.col("o_totalprice") + 10.0,
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("new_total"),
+    )
+    j = old.join(new, "key", "full_outer")
+    status = (
+        F.when(F.col("old_total").isNull(), "added")
+        .when(F.col("new_total").isNull(), "removed")
+        .when(F.col("old_total") != F.col("new_total"), "changed")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("key", "status", "old_total", "new_total")
+    )
+
+
+DIFF_SQL = f"""
+WITH old AS (
+    SELECT o_orderkey AS key, round(o_totalprice, 2) AS old_total
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_DIFF_CUT}'),
+new AS (
+    SELECT o_orderkey AS key,
+           round(CASE WHEN o_orderdate < TIMESTAMP '{_DIFF_CUT}'
+                       AND o_orderkey % 97 = 0
+                      THEN o_totalprice + 10.0 ELSE o_totalprice END, 2)
+               AS new_total
+    FROM orders)
+SELECT coalesce(old.key, new.key) AS key,
+       CASE WHEN old.key IS NULL THEN 'added'
+            WHEN new.key IS NULL THEN 'removed'
+            WHEN old_total <> new_total THEN 'changed' END AS status,
+       old_total, new_total
+FROM old FULL OUTER JOIN new ON old.key = new.key
+WHERE CASE WHEN old.key IS NULL THEN 'added'
+           WHEN new.key IS NULL THEN 'removed'
+           WHEN old_total <> new_total THEN 'changed' END IS NOT NULL
+"""
+
+
+# ---------------------------------------------------- DQ rules
+
+
+def _dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: rules are (name, predicate) DATA,
+    evaluated in ONE scan via conditional sums — never one pass per
+    rule (at 100 TB the scan dominates, so N rules must cost one scan,
+    not N). Covers the four standard rule classes: not-null, range,
+    format/regex, and cross-field consistency."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rules = {
+        "quantity_positive": F.col("l_quantity") > 0,
+        "discount_in_unit_range": F.col("l_discount").between(0.0, 1.0),
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        "returnflag_valid": F.col("l_returnflag").isin("A", "N", "R"),
+        "price_consistent": F.col("l_extendedprice") >= F.col("l_quantity"),
+    }
+    aggs = [
+        F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules.items()
+    ] + [F.count(F.lit(1)).alias("n_rows")]
+    wide = li.agg(*aggs)
+    stack = ", ".join(f"'{name}', {name}" for name in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, n_violations)", "n_rows"
+    )
+
+
+DQ_SQL = """
+WITH wide AS (
+    SELECT
+      CAST(sum(CASE WHEN NOT (l_quantity > 0) THEN 1 ELSE 0 END) AS BIGINT)
+          AS quantity_positive,
+      CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0) THEN 1 ELSE 0 END) AS BIGINT)
+          AS discount_in_unit_range,
+      CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS shipdate_not_null,
+      CAST(sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END) AS BIGINT)
+          AS returnflag_valid,
+      CAST(sum(CASE WHEN NOT (l_extendedprice >= l_quantity) THEN 1 ELSE 0 END) AS BIGINT)
+          AS price_consistent,
+      CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem)
+SELECT u.rule, u.n_violations, wide.n_rows
+FROM wide,
+     LATERAL (VALUES
+        ('quantity_positive', quantity_positive),
+        ('discount_in_unit_range', discount_in_unit_range),
+        ('shipdate_not_null', shipdate_not_null),
+        ('returnflag_valid', returnflag_valid),
+        ('price_consistent', price_consistent)) AS u(rule, n_violations)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_retention_cohorts": QuerySpec(_events_retention_cohorts, RETENTION_SQL),
     "orders_market_basket": QuerySpec(_orders_market_basket, BASKET_SQL),
@@ -545,4 +665,6 @@ QUERIES: dict[str, QuerySpec] = {
     "hierarchy_roots": QuerySpec(_hierarchy_roots, HIERARCHY_SQL),
     "events_sessionize_ids": QuerySpec(_events_sessionize_ids, SESSIONIZE_SQL),
     "events_anomaly_zscore": QuerySpec(_events_anomaly_zscore, ANOMALY_SQL),
+    "diff_snapshots": QuerySpec(_diff_snapshots, DIFF_SQL),
+    "dq_rule_violations": QuerySpec(_dq_rule_violations, DQ_SQL),
 }
