@@ -1,13 +1,16 @@
 """Round-4 operator additions: cohort/retention analytics, market-basket
 self-join, SCD2 validity intervals, document chunking, intra-document
-repetition stats, and RFM segmentation.
+repetition stats, RFM segmentation, fixed-iteration PageRank, key-skew
+profiling, hierarchy-to-root traversal, lag-gap sessionization,
+volume-anomaly z-scores, snapshot diffing, and a declarative
+data-quality gate.
 
 These widen the engine beyond the reference's ETL surface (the
 reference has none of these — designed extensions in the spirit of
 SURVEY §7/M6) with shapes a 100 TB training-data or product-analytics
 pipeline needs: windowed change detection, self-join co-occurrence,
-overlapping text chunking for context-window packing, and quantile
-bucketing.
+overlapping text chunking for context-window packing, iterative graph
+propagation, quantile bucketing, and incremental-ETL auditing.
 
 Scale notes per query are inline; the common rules: facts are never
 broadcast, every self-join is projected to its key columns first, and
