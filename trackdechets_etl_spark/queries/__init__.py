@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "events_anomaly_zscore",
     "diff_snapshots",
     "dq_rule_violations",
+    "sample_weighted_reservoir",
 ]
 
 

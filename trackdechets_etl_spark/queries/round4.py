@@ -656,6 +656,54 @@ FROM wide,
 """
 
 
+# ------------------------------------------- weighted reservoir sample
+
+_WRS_K = 20
+_HEX = "0123456789abcdef"
+
+
+def _wrs_hex_int_sql(md5_expr: str) -> str:
+    terms = [
+        f"(strpos('{_HEX}', substr({md5_expr}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis:
+    each doc draws a deterministic uniform u from its md5 (first 8 hex
+    chars → integer → (v+0.5)/2^32) and gets key = ln(u)/w with
+    w = n_chars; the top-k keys ARE a weighted sample without
+    replacement. Fully distributed (per-row key + one top-k, which
+    Catalyst executes as per-partition partial top-k) and idempotent
+    across retries/engines — no rand(), no reservoir state. The
+    standard one-pass answer to 'sample k docs proportional to length'
+    at corpus scale."""
+    d = read_table(spark, sf_dir, "documents")
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    u = (F.conv(h8, 16, 10).cast("double") + 0.5) / 4294967296.0
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", F.round(key, 9).alias("sample_key"))
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(_WRS_K)
+    )
+
+
+WRS_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           round(ln(({_wrs_hex_int_sql("md5(CAST(doc_id AS VARCHAR))")} + 0.5)
+                    / 4294967296.0) / n_chars, 9) AS sample_key
+    FROM documents)
+SELECT doc_id, n_chars, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {_WRS_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_retention_cohorts": QuerySpec(_events_retention_cohorts, RETENTION_SQL),
     "orders_market_basket": QuerySpec(_orders_market_basket, BASKET_SQL),
@@ -670,4 +718,5 @@ QUERIES: dict[str, QuerySpec] = {
     "events_anomaly_zscore": QuerySpec(_events_anomaly_zscore, ANOMALY_SQL),
     "diff_snapshots": QuerySpec(_diff_snapshots, DIFF_SQL),
     "dq_rule_violations": QuerySpec(_dq_rule_violations, DQ_SQL),
+    "sample_weighted_reservoir": QuerySpec(_sample_weighted_reservoir, WRS_SQL),
 }
