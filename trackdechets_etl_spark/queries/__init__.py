@@ -78,6 +78,11 @@ _VERIFY_FIRST = [
     "diff_snapshots",
     "dq_rule_violations",
     "sample_weighted_reservoir",
+    "agg_stats_suite",
+    "agg_argminmax",
+    "string_agg_sorted",
+    "islands_gaps",
+    "events_running_distinct",
 ]
 
 
@@ -89,12 +94,13 @@ def all_queries() -> dict[str, QuerySpec]:
         events,
         llm,
         round4,
+        round5,
         tpch2,
         training,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events, advanced, analytics, training, tpch2, round4):
+    for mod in (core, llm, events, advanced, analytics, training, tpch2, round4, round5):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,220 @@
+"""Round-5 seed queries: statistical aggregates, arg-extrema, ordered
+string aggregation, gaps-and-islands, and running distinct counts.
+
+All are single-scan or single-shuffle shapes; the statistical suite
+shows the engine's full numeric-aggregate surface (corr / covariance /
+regression slope / exact quantiles) with skewness and kurtosis computed
+from explicit raw moments — the one place builtin formulas differ
+between engines (sample vs population adjustment), so the moment
+algebra is pinned identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.queries import QuerySpec
+
+# ---------------------------------------------------- stats suite
+
+
+def _agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate + distribution statistics per returnflag in ONE partial
+    -aggregable pass: correlation, population covariance, OLS slope,
+    sample stddev, and skewness/kurtosis from explicit raw moments
+    E[x], E[x²], E[x³], E[x⁴] (population form; l_quantity is small so
+    the power sums stay well inside double precision — for wide-range
+    columns switch to the shifted-moment form)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    m1 = F.avg(x)
+    m2 = F.avg(x * x)
+    m3 = F.avg(x * x * x)
+    m4 = F.avg(x * x * x * x)
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    ) / (var * var) - 3.0
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("ols_slope"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(skew, 6).alias("skew_qty"),
+        F.round(kurt, 6).alias("kurt_qty"),
+    )
+
+
+STATS_SUITE_SQL = """
+WITH m AS (
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS ols_slope,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           avg(l_quantity) AS m1,
+           avg(l_quantity * l_quantity) AS m2,
+           avg(l_quantity * l_quantity * l_quantity) AS m3,
+           avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4
+    FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, corr_qty_price, covar_pop, ols_slope, sd_qty,
+       round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+             / pow(m2 - m1 * m1, 1.5), 6) AS skew_qty,
+       round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+             / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0, 6) AS kurt_qty
+FROM m
+"""
+
+
+# ---------------------------------------------------- arg extrema + quantiles
+
+
+def _agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extrema and exact quantiles per group: min_by/max_by (which
+    row's partkey at the price extremes — ties broken identically in
+    both engines because (price, partkey) pairs are unique per flag at
+    the extremes), exact median and lower-quartile (continuous
+    interpolation, Spark percentile ↔ DuckDB quantile_cont)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_partkey", "l_extendedprice").alias("cheapest_part"),
+        F.max_by("l_partkey", "l_extendedprice").alias("priciest_part"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("q25_price"),
+    )
+
+
+ARGMINMAX_SQL = """
+SELECT l_returnflag,
+       arg_min(l_partkey, l_extendedprice) AS cheapest_part,
+       arg_max(l_partkey, l_extendedprice) AS priciest_part,
+       round(median(l_extendedprice), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS q25_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------- ordered string agg
+
+
+def _string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LISTAGG: per nation, its suppliers' names joined
+    in sorted order — collect_list is order-nondeterministic after a
+    shuffle, so the engine-stable form is array_sort before concat
+    (↔ string_agg ... ORDER BY)."""
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+STRING_AGG_SQL = """
+SELECT n_name,
+       string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------- gaps and islands
+
+
+def _islands_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous runs of order keys among finished
+    orders. The classic key − row_number() constant-per-island trick —
+    one window + one aggregation, both on the same ordering, so a
+    single sort-shuffle."""
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        .distinct()
+    )
+    w = Window.orderBy("o_orderkey")
+    grp = (F.col("o_orderkey") - F.row_number().over(w)).alias("__grp")
+    return (
+        o.select("o_orderkey", grp)
+        .groupBy("__grp")
+        .agg(
+            F.min("o_orderkey").alias("island_start"),
+            F.max("o_orderkey").alias("island_end"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .drop("__grp")
+        .select("island_start", "island_end", "n_keys")
+    )
+
+
+ISLANDS_SQL = """
+WITH keys AS (
+    SELECT DISTINCT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+grouped AS (
+    SELECT o_orderkey,
+           o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS grp
+    FROM keys)
+SELECT min(o_orderkey) AS island_start,
+       max(o_orderkey) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM grouped GROUP BY grp
+"""
+
+
+# ---------------------------------------------------- running distinct
+
+
+def _events_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day without any distinct-over-window
+    (which Spark cannot do and would be O(n²) anyway): each user counts
+    once on their FIRST day (per-user min — map-side combinable), then
+    a running sum over the tiny per-day frame."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    per_day = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("n_cum"),
+    )
+
+
+RUNNING_DISTINCT_SQL = """
+WITH first AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id),
+per_day AS (
+    SELECT first_day, CAST(count(*) AS BIGINT) AS n_new
+    FROM first GROUP BY first_day)
+SELECT first_day AS day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+FROM per_day
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "agg_stats_suite": QuerySpec(_agg_stats_suite, STATS_SUITE_SQL),
+    "agg_argminmax": QuerySpec(_agg_argminmax, ARGMINMAX_SQL),
+    "string_agg_sorted": QuerySpec(_string_agg_sorted, STRING_AGG_SQL),
+    "islands_gaps": QuerySpec(_islands_gaps, ISLANDS_SQL),
+    "events_running_distinct": QuerySpec(_events_running_distinct, RUNNING_DISTINCT_SQL),
+}
