@@ -181,3 +181,54 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     q.awaitTermination()
     n = read_table(spark, SF_DIR, "events").count()
     assert spark.read.parquet(out).count() == n
+
+
+def test_foreach_batch_merge_upsert_sink(spark, tmp_path):
+    """foreachBatch incremental-state sink: each micro-batch's partial
+    aggregate is merged additively into a keyed parquet state table
+    (the MERGE INTO maintenance pattern for sinks without a native
+    streaming writer). After draining, the state equals the batch
+    per-user aggregate computed from scratch."""
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "state_out")
+    stream = stream_from_parquet(spark, SF_DIR, watermark="1 hour")
+
+    def upsert_batch(batch_df, batch_id):
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")
+        )
+        try:
+            cur = spark.read.parquet(state_dir)
+        except Exception:
+            cur = None
+        if cur is None:
+            new_state = agg
+        else:
+            new_state = (
+                cur.unionByName(agg)
+                .groupBy("user_id")
+                .agg(F.sum("n").cast("long").alias("n"), F.round(F.sum("s"), 2).alias("s"))
+            )
+        new_state.write.mode("overwrite").parquet(out_dir)
+        # swap: re-write into state_dir (parquet cannot upsert in place)
+        spark.read.parquet(out_dir).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.user_id: (r.n, r.s) for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == want
