@@ -211,10 +211,121 @@ FROM per_day
 """
 
 
+# ---------------------------------------------------- windowed funnel
+
+
+def _events_funnel_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a per-step time horizon: first signup →
+    first click within 2h of it → first purchase within 2h of that
+    click. Each stage is a conditional-min aggregate joined back (never
+    a self-join — hot users would fan out |events|² rows); three
+    per-user groupBys, each map-side combinable, then one global
+    count."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    h = "INTERVAL 2 HOURS"
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("s_ts"))
+            & (F.col("ts") <= F.col("s_ts") + F.expr(h))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr(h))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_2h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_2h")))
+    )
+
+
+FUNNEL_HORIZON_SQL = """
+WITH s AS (
+    SELECT user_id, min(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id),
+c AS (
+    SELECT e.user_id, min(e.ts) AS c_ts
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts >= s.s_ts AND e.ts <= s.s_ts + INTERVAL 2 HOUR
+    GROUP BY e.user_id),
+p AS (
+    SELECT e.user_id, min(e.ts) AS p_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts >= c.c_ts AND e.ts <= c.c_ts + INTERVAL 2 HOUR
+    GROUP BY e.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_2h,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_2h
+"""
+
+
+# ---------------------------------------------------- ship latency
+
+
+def _orders_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority: exact median /
+    p90 / max of (l_shipdate − o_orderdate) in days. The orders join is
+    the only shuffle (both sides on orderkey); the percentiles run on
+    the per-priority day integers."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("double")
+        .alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.round(F.median("days"), 1).alias("median_days"),
+        F.round(F.percentile("days", 0.9), 1).alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+SHIP_LATENCY_SQL = """
+WITH lat AS (
+    SELECT o_orderpriority,
+           CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS DOUBLE)
+               AS days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority,
+       round(median(days), 1) AS median_days,
+       round(quantile_cont(days, 0.9), 1) AS p90_days,
+       CAST(max(days) AS BIGINT) AS max_days,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lat GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_stats_suite": QuerySpec(_agg_stats_suite, STATS_SUITE_SQL),
     "agg_argminmax": QuerySpec(_agg_argminmax, ARGMINMAX_SQL),
     "string_agg_sorted": QuerySpec(_string_agg_sorted, STRING_AGG_SQL),
     "islands_gaps": QuerySpec(_islands_gaps, ISLANDS_SQL),
     "events_running_distinct": QuerySpec(_events_running_distinct, RUNNING_DISTINCT_SQL),
+    "events_funnel_horizon": QuerySpec(_events_funnel_horizon, FUNNEL_HORIZON_SQL),
+    "orders_ship_latency": QuerySpec(_orders_ship_latency, SHIP_LATENCY_SQL),
 }
