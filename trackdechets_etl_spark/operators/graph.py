@@ -137,8 +137,13 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
+        # ranks is nodes-sized (≪ edges): broadcast it so the edge
+        # table never shuffles inside the loop — the per-iteration
+        # shuffle is the groupBy(dst) only. On a graph whose node set
+        # outgrows broadcast, co-partition e_deg and ranks on src once
+        # before the loop instead (same loop body, no broadcast).
         contribs = e_deg.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
         ).select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
         ranks = (
             contribs.groupBy("dst")

