@@ -152,13 +152,22 @@ def _agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching DuckDB ``quantile_cont``). At 100 TB swap to
     ``approx_percentile`` (t-digest) — same call shape."""
     li = read_table(spark, sf_dir, "lineitem")
-    aggs = [
-        F.round(F.percentile("l_extendedprice", F.lit(q)), 4).alias(
-            f"p{int(q * 100)}"
+    # One percentile() over an array of fractions = ONE sort buffer per
+    # group instead of four (measured 3.0s → ~1.2s at sf0.1).
+    pcts = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(q) for q in QUANTILES])
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("__p"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.element_at("__p", i + 1), 4).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(QUANTILES)
+            ],
         )
-        for q in QUANTILES
-    ]
-    return li.groupBy("l_returnflag").agg(*aggs)
+    )
 
 
 AGG_QUANTILES_SQL = """
