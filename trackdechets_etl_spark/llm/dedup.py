@@ -44,6 +44,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def exact_canonical_ids(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Ids of the canonical (minimum-id) doc per identical-text group,
+    keyed on the md5 fingerprint: the shuffle moves 32-byte keys, not
+    whole documents — the form every composed pipeline should use
+    (:func:`exact_dedup`'s full row-level output shuffles the text
+    itself to window over it). Result-identical to grouping on the raw
+    text barring md5 collisions (~n²/2^129)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
     ``array_distinct`` dedups within the doc BEFORE the explode, so the

@@ -611,7 +611,10 @@ def _pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     language. The output is the balanced training subset a 100 TB
     corpus pipeline ships."""
     from trackdechets_etl_spark.llm import text as TX
-    from trackdechets_etl_spark.llm.dedup import exact_dedup, ngram_jaccard_pairs
+    from trackdechets_etl_spark.llm.dedup import (
+        exact_canonical_ids,
+        ngram_jaccard_pairs,
+    )
     from trackdechets_etl_spark.llm.tfidf import stratified_top_n
     from trackdechets_etl_spark.operators.graph import dedup_clusters
     from trackdechets_etl_spark.queries.llm import JACCARD_THRESHOLD, QUALITY_KEEP
@@ -621,9 +624,7 @@ def _pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_q = d.select("doc_id", "lang", score.alias("quality_score")).filter(
         F.col("quality_score") >= QUALITY_KEEP
     )
-    canon_exact = (
-        exact_dedup(d, "text", "doc_id").filter(~F.col("is_dup")).select("doc_id")
-    )
+    canon_exact = exact_canonical_ids(d, "text", "doc_id")
     pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=JACCARD_THRESHOLD)
     canon_near = (
         dedup_clusters(d, pairs, "doc_id")

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from trackdechets_etl_spark.io.readers import read_table
 from trackdechets_etl_spark.llm import text as TX
 from trackdechets_etl_spark.llm.dedup import (
+    exact_canonical_ids,
     N_BANDS,
     N_MINHASH,
     SIMHASH_BITS,
@@ -413,7 +414,7 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select("doc_id", "text", score.alias("quality_score"))
     kept_q = scored.filter(F.col("quality_score") >= QUALITY_KEEP)
 
-    canon = exact_dedup(d, "text", "doc_id").filter(~F.col("is_dup")).select("doc_id")
+    canon = exact_canonical_ids(d, "text", "doc_id")
     kept = kept_q.join(canon, "doc_id")
 
     near = ngram_jaccard_pairs(d, "text", "doc_id", threshold=JACCARD_THRESHOLD)
