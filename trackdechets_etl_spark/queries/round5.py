@@ -333,6 +333,81 @@ FROM lat GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------- windowed dedup
+
+
+def _events_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark``: keep ONE event
+    per (user, type, 1-hour bucket) — the earliest by (ts, event_id).
+    ``min_by`` on a struct gives the deterministic keep without a
+    window sort; one shuffle on the dedup key."""
+    ev = read_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket")
+    # Deterministic tie-break without a window sort: min_by on a
+    # lexicographic (epoch, event_id) string key (both engines compare
+    # composite keys identically as zero-padded strings).
+    key = F.concat(
+        F.lpad(F.col("ts").cast("timestamp").cast("long").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return ev.groupBy("user_id", "event_type", bucket).agg(
+        F.min_by("event_id", key).alias("keep_event_id"),
+        F.count(F.lit(1)).alias("n_in_bucket"),
+    )
+
+
+WINDOWED_DEDUP_SQL = """
+SELECT user_id, event_type, date_trunc('hour', ts) AS bucket,
+       arg_min(event_id,
+               lpad(CAST(epoch(ts) AS VARCHAR), 12, '0')
+               || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS keep_event_id,
+       CAST(count(*) AS BIGINT) AS n_in_bucket
+FROM events
+GROUP BY user_id, event_type, date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------- unigram LM score
+
+
+def _text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each doc's mean token
+    log-probability under the corpus unigram distribution — the classic
+    cheap perplexity proxy for quality filtering. The LM itself is the
+    token-frequency table (vocabulary-bounded → broadcast back onto the
+    exploded tokens); one explode + two aggregations."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (F.log(F.col("tf") / F.col("n_total"))).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("mean_logp"),
+        )
+    )
+
+
+LM_SCORE_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+lm AS (
+    SELECT token, ln(tf / (SELECT CAST(sum(tf) AS DOUBLE) FROM vocab)) AS logp
+    FROM vocab)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(logp), 6) AS mean_logp
+FROM tok JOIN lm USING (token)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_stats_suite": QuerySpec(_agg_stats_suite, STATS_SUITE_SQL),
     "agg_argminmax": QuerySpec(_agg_argminmax, ARGMINMAX_SQL),
@@ -341,4 +416,6 @@ QUERIES: dict[str, QuerySpec] = {
     "events_running_distinct": QuerySpec(_events_running_distinct, RUNNING_DISTINCT_SQL),
     "events_funnel_horizon": QuerySpec(_events_funnel_horizon, FUNNEL_HORIZON_SQL),
     "orders_ship_latency": QuerySpec(_orders_ship_latency, SHIP_LATENCY_SQL),
+    "events_windowed_dedup": QuerySpec(_events_windowed_dedup, WINDOWED_DEDUP_SQL),
+    "text_lm_score": QuerySpec(_text_lm_score, LM_SCORE_SQL),
 }
