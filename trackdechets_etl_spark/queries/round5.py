@@ -408,6 +408,81 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------- power iteration
+
+_PI_ITERS = 3
+_PI_DIMS = 64
+
+
+def _embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud (uncentered) via
+    ``_PI_ITERS`` rounds of power iteration — an ML primitive built
+    from pure DataFrame ops: per round, one join + two aggregations
+    (x·v per vector, then Σ v(v·x) per dimension) and a broadcast
+    1-row norm; no UDFs, nothing collected to the driver. The start
+    vector is the deterministic uniform unit vector, so the result is
+    exactly reproducible and matched by the unrolled-CTE oracle.
+    At 100 TB the exploded (vec, dim, val) frame is the input layout;
+    each round shuffles it once on vec_id and once on dim."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val"),
+    ).select("vec_id", (F.col("i") + 1).alias("i"), "val")
+    x = spark.range(1, _PI_DIMS + 1).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(1.0 / _PI_DIMS**0.5).alias("x"),
+    )
+    for _ in range(_PI_ITERS):
+        dots = (
+            e.join(F.broadcast(x), "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("x")).alias("dot"))
+        )
+        y = (
+            e.join(F.broadcast(dots), "vec_id")
+            .groupBy("i")
+            .agg(F.sum(F.col("val") * F.col("dot")).alias("y"))
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        x = y.crossJoin(F.broadcast(norm)).select(
+            "i", (F.col("y") / F.col("nrm")).alias("x")
+        )
+    return x.select(
+        F.col("i").cast("long").alias("dim"), F.round("x", 5).alias("pc1")
+    )
+
+
+def _pc1_oracle() -> str:
+    steps = []
+    prev = "x0"
+    for k in range(1, _PI_ITERS + 1):
+        steps.append(
+            f"d{k} AS (SELECT vec_id, sum(val * x) AS dot FROM e "
+            f"JOIN {prev} USING (i) GROUP BY vec_id),\n"
+            f"y{k} AS (SELECT i, sum(val * dot) AS y FROM e "
+            f"JOIN d{k} USING (vec_id) GROUP BY i),\n"
+            f"x{k} AS (SELECT i, y / (SELECT sqrt(sum(y * y)) FROM y{k}) AS x "
+            f"FROM y{k})"
+        )
+        prev = f"x{k}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+    SELECT vec_id, CAST(i AS INT) AS i, v[i] AS val
+    FROM base, unnest(generate_series(1, {_PI_DIMS})) AS u(i)),
+x0 AS (
+    SELECT CAST(i AS INT) AS i, 1.0 / sqrt({_PI_DIMS}) AS x
+    FROM unnest(generate_series(1, {_PI_DIMS})) AS t(i)),
+{chain}
+SELECT CAST(i AS BIGINT) AS dim, round(x, 5) AS pc1 FROM x{_PI_ITERS}
+"""
+
+
+PC1_SQL = _pc1_oracle()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_stats_suite": QuerySpec(_agg_stats_suite, STATS_SUITE_SQL),
     "agg_argminmax": QuerySpec(_agg_argminmax, ARGMINMAX_SQL),
@@ -418,4 +493,5 @@ QUERIES: dict[str, QuerySpec] = {
     "orders_ship_latency": QuerySpec(_orders_ship_latency, SHIP_LATENCY_SQL),
     "events_windowed_dedup": QuerySpec(_events_windowed_dedup, WINDOWED_DEDUP_SQL),
     "text_lm_score": QuerySpec(_text_lm_score, LM_SCORE_SQL),
+    "embedding_pc1": QuerySpec(_embedding_pc1, PC1_SQL),
 }
