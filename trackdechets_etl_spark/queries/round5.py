@@ -483,6 +483,111 @@ SELECT CAST(i AS BIGINT) AS dim, round(x, 5) AS pc1 FROM x{_PI_ITERS}
 PC1_SQL = _pc1_oracle()
 
 
+# ---------------------------------------------------- markov transitions
+
+
+def _events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next_type | type), with row counts. One lag window
+    per user (high-cardinality partitioning) + one count aggregation;
+    the normalizing row totals ride a second tiny aggregation joined
+    back broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__row_total"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("__row_total"), 6).alias("p"),
+        )
+    )
+
+
+MARKOV_SQL = """
+WITH steps AS (
+    SELECT user_id, event_type AS to_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type
+    FROM events),
+counts AS (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM steps WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type),
+totals AS (
+    SELECT from_type, sum(n) AS row_total FROM counts GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n / CAST(t.row_total AS DOUBLE), 6) AS p
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+"""
+
+
+# ---------------------------------------------------- pareto 80/20
+
+
+def _orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto): rank customers by revenue desc,
+    emit the decile → cumulative-revenue-share curve. Per-customer
+    rollup is one shuffle; the running share is a window over the
+    (customers-sized) aggregate with a deterministic total order."""
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.desc("rev"), "o_custkey")
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w).alias("cum_rev"),
+        F.ntile(10).over(wall).alias("decile"),
+    )
+    total = per_cust.agg(F.sum("rev").alias("__total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .groupBy(F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.max(F.col("cum_rev") / F.col("__total")) * 100.0, 4).alias(
+                "cum_rev_pct"
+            ),
+        )
+    )
+
+
+PARETO_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+    FROM orders GROUP BY o_custkey),
+ranked AS (
+    SELECT o_custkey, rev,
+           sum(rev) OVER (ORDER BY rev DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+           ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+    FROM per_cust)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(max(cum_rev / (SELECT sum(rev) FROM per_cust)) * 100.0, 4)
+           AS cum_rev_pct
+FROM ranked GROUP BY decile
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_stats_suite": QuerySpec(_agg_stats_suite, STATS_SUITE_SQL),
     "agg_argminmax": QuerySpec(_agg_argminmax, ARGMINMAX_SQL),
@@ -494,4 +599,6 @@ QUERIES: dict[str, QuerySpec] = {
     "events_windowed_dedup": QuerySpec(_events_windowed_dedup, WINDOWED_DEDUP_SQL),
     "text_lm_score": QuerySpec(_text_lm_score, LM_SCORE_SQL),
     "embedding_pc1": QuerySpec(_embedding_pc1, PC1_SQL),
+    "events_markov_transitions": QuerySpec(_events_markov_transitions, MARKOV_SQL),
+    "orders_pareto": QuerySpec(_orders_pareto, PARETO_SQL),
 }
