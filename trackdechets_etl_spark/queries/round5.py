@@ -1,12 +1,18 @@
 """Round-5 seed queries: statistical aggregates, arg-extrema, ordered
-string aggregation, gaps-and-islands, and running distinct counts.
+string aggregation, gaps-and-islands, running distinct counts,
+horizon-constrained funnels, ship-latency percentiles, windowed dedup,
+unigram LM scoring, power-iteration PCA, Markov transition matrices,
+and Pareto concentration curves.
 
-All are single-scan or single-shuffle shapes; the statistical suite
+Mostly single-scan or single-shuffle shapes; the statistical suite
 shows the engine's full numeric-aggregate surface (corr / covariance /
 regression slope / exact quantiles) with skewness and kurtosis computed
 from explicit raw moments — the one place builtin formulas differ
 between engines (sample vs population adjustment), so the moment
-algebra is pinned identically on both sides.
+algebra is pinned identically on both sides. The iterative PCA and the
+funnel chain demonstrate multi-stage numeric pipelines that stay fully
+distributed (no UDFs, no driver collect) yet hash-match an unrolled
+SQL oracle exactly.
 """
 
 from __future__ import annotations
