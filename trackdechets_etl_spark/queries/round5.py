@@ -594,6 +594,43 @@ FROM ranked GROUP BY decile
 """
 
 
+# ---------------------------------------------------- YoY growth
+
+
+def _orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth: one monthly rollup,
+    then a 12-month lag over the (months-sized) aggregate — the
+    standard finance reporting shape. Growth is null for the first
+    year (no prior-year month)."""
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("mo").orderBy("yr")
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue",
+        F.round(
+            (F.col("revenue") / F.lag("revenue").over(w) - 1.0) * 100.0, 4
+        ).alias("yoy_pct"),
+    )
+
+
+YOY_SQL = """
+WITH monthly AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2)
+SELECT yr, mo, revenue,
+       round((revenue / lag(revenue) OVER (PARTITION BY mo ORDER BY yr) - 1.0)
+             * 100.0, 4) AS yoy_pct
+FROM monthly
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_stats_suite": QuerySpec(_agg_stats_suite, STATS_SUITE_SQL),
     "agg_argminmax": QuerySpec(_agg_argminmax, ARGMINMAX_SQL),
@@ -607,4 +644,5 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_pc1": QuerySpec(_embedding_pc1, PC1_SQL),
     "events_markov_transitions": QuerySpec(_events_markov_transitions, MARKOV_SQL),
     "orders_pareto": QuerySpec(_orders_pareto, PARETO_SQL),
+    "orders_yoy_growth": QuerySpec(_orders_yoy_growth, YOY_SQL),
 }
