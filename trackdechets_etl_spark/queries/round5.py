@@ -631,6 +631,60 @@ FROM monthly
 """
 
 
+# ---------------------------------------------------- dwell times
+
+
+def _events_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event dwell time: seconds since the user's previous event,
+    summarized per (arriving) event type with exact median/p90 — the
+    standard latency/engagement telemetry rollup. One per-user lag
+    window + one aggregation with a single shared percentile buffer."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Full-precision epoch seconds (double) on BOTH sides — a long cast
+    # would truncate sub-second parts that DuckDB's epoch() keeps.
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gaps = (
+        ev.select(
+            "event_type",
+            (epoch - F.lag(epoch).over(w)).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    pcts = F.percentile("gap_s", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_s"), 2).alias("mean_gap_s"),
+            pcts.alias("__p"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "mean_gap_s",
+            F.round(F.element_at("__p", 1), 2).alias("median_gap_s"),
+            F.round(F.element_at("__p", 2), 2).alias("p90_gap_s"),
+        )
+    )
+
+
+DWELL_SQL = """
+WITH gaps AS (
+    SELECT event_type,
+           CAST(epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS DOUBLE) AS gap_s
+    FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap_s), 2) AS mean_gap_s,
+       round(quantile_cont(gap_s, 0.5), 2) AS median_gap_s,
+       round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "agg_stats_suite": QuerySpec(_agg_stats_suite, STATS_SUITE_SQL),
     "agg_argminmax": QuerySpec(_agg_argminmax, ARGMINMAX_SQL),
@@ -645,4 +699,5 @@ QUERIES: dict[str, QuerySpec] = {
     "events_markov_transitions": QuerySpec(_events_markov_transitions, MARKOV_SQL),
     "orders_pareto": QuerySpec(_orders_pareto, PARETO_SQL),
     "orders_yoy_growth": QuerySpec(_orders_yoy_growth, YOY_SQL),
+    "events_dwell_times": QuerySpec(_events_dwell_times, DWELL_SQL),
 }
