@@ -232,3 +232,67 @@ def test_foreach_batch_merge_upsert_sink(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_multi_batch_incremental_state(spark, tmp_path):
+    """TRUE incremental maintenance across micro-batches: the source is
+    split into 4 files and streamed with maxFilesPerTrigger=1, so the
+    additive state merge runs 4 times; the final state must equal the
+    from-scratch batch aggregate. Catches merge bugs a single
+    availableNow batch (covering all input at once) cannot."""
+    src_dir = str(tmp_path / "src")
+    ev = read_table(spark, SF_DIR, "events")
+    ev.repartition(4).write.parquet(src_dir)
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "state_out")
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    n_batches = []
+
+    def upsert_batch(batch_df, batch_id):
+        n_batches.append(batch_id)
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+        try:
+            cur = spark.read.parquet(state_dir)
+        except Exception:
+            cur = None
+        new_state = (
+            agg
+            if cur is None
+            else cur.unionByName(agg)
+            .groupBy("user_id")
+            .agg(F.sum("n").cast("long").alias("n"), F.sum("s").alias("s"))
+        )
+        new_state.write.mode("overwrite").parquet(out_dir)
+        spark.read.parquet(out_dir).write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(n_batches) == 4, f"expected 4 micro-batches, got {n_batches}"
+
+    got = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
