@@ -435,6 +435,10 @@ def _embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val"),
     ).select("vec_id", (F.col("i") + 1).alias("i"), "val")
+    # Each round consumes the exploded frame twice; checkpoint it once
+    # so iterations don't re-scan and re-explode the parquet (the same
+    # lineage-truncation discipline as connected_components/pagerank).
+    e = e.localCheckpoint(eager=True)
     x = spark.range(1, _PI_DIMS + 1).select(
         F.col("id").cast("int").alias("i"),
         F.lit(1.0 / _PI_DIMS**0.5).alias("x"),
