@@ -148,6 +148,21 @@ def test_market_basket_self_join_single_key_copartition(spark):
     assert "TakeOrderedAndProject" in plan, (
         "top-k should be TakeOrderedAndProject, not a global sort + limit"
     )
+    assert "BroadcastHashJoin" not in plan, (
+        "fact self-join must stay co-partitioned (no broadcast of a fact side)"
+    )
+    assert "SortMergeJoin" in plan, "self-join should sort-merge on the order key"
+    # formatted explain puts the partitioning in the Exchange node's
+    # Arguments line; count the order-key partitionings (ok / ok2 sides).
+    assert plan.count("hashpartitioning(l_orderkey") >= 1, (
+        "self-join sides must hash-partition on the order key"
+    )
+    assert plan.count("hashpartitioning(l_orderkey#") + plan.count(
+        "hashpartitioning(ok"
+    ) >= 2 or "ReusedExchange" in plan, (
+        "both self-join sides must be co-partitioned on the order key "
+        "(two exchanges or one reused)"
+    )
 
 
 def test_scd2_windows_partition_by_user(spark):

@@ -73,15 +73,25 @@ def _orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey (same key → one co-partitioning); pairs are oriented
     p1 < p2 so each pair counts once. Deterministic top-k: count desc,
     then pair ids."""
+    # Partition by l_orderkey BEFORE the distinct: hashpartitioning(ok)
+    # satisfies ClusteredDistribution(ok, pk) for the dedup aggregate AND
+    # the self-join's requirement, so each side shuffles once on the
+    # order key instead of twice ((ok, pk) for distinct, then ok again).
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates(["l_orderkey", "l_partkey"])
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
     b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
     return (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        # merge hint: at 100 TB neither self-join side is broadcastable;
+        # pin the co-partitioned plan so small-SF tests see the plan
+        # that would actually run at scale (both sides exchange on the
+        # order key once, then sort-merge with the p1<p2 residual).
+        a.hint("merge")
+        .join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "p1", "p2")
@@ -454,7 +464,10 @@ def _events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts may arrive as TIMESTAMP_NTZ; route through TIMESTAMP for epoch
     # seconds (session tz is UTC, matching DuckDB's epoch() on naive ts).
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # DOUBLE epoch, not long: DuckDB's epoch() keeps the microsecond
+    # fraction, so a floor-truncated long would classify gaps in the
+    # (1799s, 1801s] straddle band differently per engine.
+    epoch = F.col("ts").cast("timestamp").cast("double")
     gap = F.when(
         (epoch - F.lag(epoch).over(w)) > _SESSION_GAP_MIN * 60,
         1,

@@ -350,10 +350,14 @@ def _events_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     bucket = F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket")
     # Deterministic tie-break without a window sort: min_by on a
-    # lexicographic (epoch, event_id) string key (both engines compare
-    # composite keys identically as zero-padded strings).
+    # lexicographic (epoch_micros, event_id) string key. INTEGER
+    # microseconds on both sides (Spark unix_micros ↔ DuckDB epoch_us)
+    # — a seconds cast would truncate while DuckDB's epoch() keeps the
+    # fraction, so same-second events could pick different keepers.
     key = F.concat(
-        F.lpad(F.col("ts").cast("timestamp").cast("long").cast("string"), 12, "0"),
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 16, "0"
+        ),
         F.lpad(F.col("event_id").cast("string"), 10, "0"),
     )
     return ev.groupBy("user_id", "event_type", bucket).agg(
@@ -365,7 +369,7 @@ def _events_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOWED_DEDUP_SQL = """
 SELECT user_id, event_type, date_trunc('hour', ts) AS bucket,
        arg_min(event_id,
-               lpad(CAST(epoch(ts) AS VARCHAR), 12, '0')
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
                || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS keep_event_id,
        CAST(count(*) AS BIGINT) AS n_in_bucket
 FROM events

@@ -523,13 +523,16 @@ def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_extendedprice")
     )
     per_part = base.groupBy("l_partkey").agg(
-        F.sum("l_extendedprice").alias("__value")
+        # Round to cents BEFORE the threshold comparison: unrounded
+        # double sums depend on summation order, so a part within an
+        # ulp of the threshold could be a row-set divergence vs DuckDB.
+        F.round(F.sum("l_extendedprice"), 2).alias("__value")
     )
-    total = per_part.agg((F.sum("__value") * 0.001).alias("__thresh"))
+    total = per_part.agg(F.round(F.sum("__value") * 0.001, 2).alias("__thresh"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("__value") > F.col("__thresh"))
-        .select("l_partkey", F.round("__value", 2).alias("part_value"))
+        .select("l_partkey", F.col("__value").alias("part_value"))
     )
 
 
@@ -541,11 +544,11 @@ WITH base AS (
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_5'),
 per_part AS (
-    SELECT l_partkey, sum(l_extendedprice) AS value
+    SELECT l_partkey, round(sum(l_extendedprice), 2) AS value
     FROM base GROUP BY l_partkey)
-SELECT l_partkey, round(value, 2) AS part_value
+SELECT l_partkey, value AS part_value
 FROM per_part
-WHERE value > (SELECT sum(value) * 0.001 FROM per_part)
+WHERE value > (SELECT round(sum(value) * 0.001, 2) FROM per_part)
 """
 
 
