@@ -30,8 +30,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query. Omitted only for
-    ``agg_coverage_stats_approx`` (HyperLogLog approx-distinct has no
-    exact SQL twin by construction — rows-only check)."""
+    the sketch-backed twins (``agg_coverage_stats_approx`` HLL,
+    ``orders_ship_latency_approx`` GK percentile) whose outputs are
+    engine-specific by construction — rows-only checks; their exact
+    counterparts are fully oracle-verified."""
     return {
         name: spec.oracle
         for name, spec in all_queries().items()

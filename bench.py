@@ -61,26 +61,31 @@ def main() -> None:
     registry["flagship_revenue_by_nation"].fn(spark, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
-    # Three passes per query, keep the min: the box is shared, and a
-    # single co-tenant burst can inflate one query 5-10× (and can span
-    # two back-to-back passes). Min-of-N is the standard noise floor
-    # for wall-clock microbenchmarks. If the min still looks inflated
-    # (> RETRY_THRESHOLD), take up to two more passes — a burst long
-    # enough to poison five spaced passes is rare.
-    RETRY_THRESHOLD = 2.5
+    # Min-of-N per query: the box is shared, and a single co-tenant
+    # burst can inflate one query 5-10× — and can span several
+    # back-to-back passes, which is how sub-second queries have shown
+    # phantom 1.7× "regressions" under a fixed pass count. So instead
+    # of an absolute retry threshold, use a STABILITY criterion: keep
+    # sampling (3..7 passes) until the two fastest passes agree within
+    # 25% — two independent passes landing close means the min is the
+    # machine's floor, not the tail of a burst.
+    MAX_PASSES = 7
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn
-        best = None
-        passes = 0
-        while passes < 3 or (best > RETRY_THRESHOLD and passes < 5):
+        samples: list[float] = []
+        while len(samples) < 3 or (
+            len(samples) < MAX_PASSES
+            and sorted(samples)[1] > 1.25 * min(samples)
+        ):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-            passes += 1
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({passes} passes)", file=sys.stderr)
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(min(samples), 3)
+        print(
+            f"# {name}: {timings[name]}s ({len(samples)} passes)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

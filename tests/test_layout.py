@@ -144,3 +144,38 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     assert zp < 0.4 * g.p, f"partkey not clustered: {zp} vs {g.p}"
     # and nothing was lost
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Runtime semi-join reduction: a selective dim-side filter injects
+    a bloom filter into the fact side of a shuffled join (Spark's
+    might_contain aggregate pushdown). Off at test SFs only because the
+    application-side scan threshold is 10 GB — at the 100 TB target the
+    default config fires this on every selective fact-dim join; the
+    test lowers the thresholds to pin the mechanism."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF_DIR, "lineitem")
+        o = read_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloomfilter" in plan.lower() or "might_contain" in plan.lower(), (
+            "selective join did not inject a runtime bloom filter"
+        )
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -177,3 +177,15 @@ def test_q2_offer_min_uses_window_over_aggregate(spark):
     plan = _plan(REGISTRY["tpch_q2_min_price_supplier"].fn(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, "Q2 dims should broadcast"
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_dpp_prunes_customer_partitions(spark):
+    """The partition-pruned layout + filtered-dim join must produce a
+    runtime dynamicpruningexpression on the fact scan — the broadcast
+    of the filtered nation side doubles as the partition filter."""
+    plan = _plan(REGISTRY["join_dpp_partition_pruned"].fn(spark, SF_DIR))
+    assert "dynamicpruningexpression" in plan, (
+        "customer scan not dynamically pruned by the nation filter"
+    )
+    assert "PartitionFilters" in plan
+    assert "BroadcastHashJoin" in plan, "nation dim should broadcast"

@@ -129,3 +129,50 @@ def test_lm_score_bounds(spark):
         F.size(F.split("text", " ")).alias("n")
     ).agg(F.sum("n")).collect()[0][0]
     assert lm.agg(F.sum("n_tokens")).collect()[0][0] == n_tokens_direct
+
+
+def test_approx_percentiles_within_tolerance_of_exact(spark):
+    """The GK-sketch twin must track the exact percentiles: with
+    accuracy=10000 the rank error is ~1e-4·n, far under 5% of the value
+    range at any test SF. Compares per-priority median/p90."""
+    exact = {
+        r.o_orderpriority: (r.median_days, r.p90_days)
+        for r in _q("orders_ship_latency")(spark, SF_DIR).collect()
+    }
+    approx = {
+        r.o_orderpriority: (r.median_days_approx, r.p90_days_approx)
+        for r in _q("orders_ship_latency_approx")(spark, SF_DIR).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for prio, (med, p90) in exact.items():
+        amed, ap90 = approx[prio]
+        assert abs(amed - med) <= max(2.0, 0.05 * med), (prio, amed, med)
+        assert abs(ap90 - p90) <= max(2.0, 0.05 * p90), (prio, ap90, p90)
+
+
+def test_pq_codes_complete_and_bounded(spark):
+    """Every vector gets exactly M codes, each in [0, K) — the
+    compressed representation is total and well-formed."""
+    from trackdechets_etl_spark.llm.pq import K, M, explode_subspaces, pq_encode, train_codebook
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    e = explode_subspaces(emb, "vec_id", "embedding").localCheckpoint(eager=True)
+    cents = train_codebook(e)
+    codes = pq_encode(e, cents)
+    n_vec = emb.count()
+    per_vec = codes.groupBy("vid").count().collect()
+    assert len(per_vec) == n_vec
+    assert all(r["count"] == M for r in per_vec)
+    mm = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    ).collect()[0]
+    assert 0 <= mm.lo and mm.hi < K
+
+
+def test_pq_recall_beats_floor(spark):
+    """ADC over one-step codebooks must retain real ranking signal:
+    mean recall@5 ≥ 0.4 on the test corpus (measured 0.62; random
+    ranking would give ~k/n ≈ 0.01)."""
+    rows = _q("sim_pq_recall")(spark, SF_DIR).collect()
+    mean_recall = sum(r.recall_at_5 for r in rows) / len(rows)
+    assert mean_recall >= 0.4, mean_recall

@@ -296,3 +296,32 @@ def test_multi_batch_incremental_state(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_idempotent_sink_replayed_batch_no_double_count(spark, tmp_path):
+    """Exactly-once under micro-batch replay: foreachBatch is
+    at-least-once (a crash between the sink write and the checkpoint
+    commit re-fires the same batch_id), so the sink must make replays
+    idempotent. idempotent_batch_writer overwrites only the replayed
+    batch's partition — firing batch 0 twice must leave counts and
+    values identical to firing it once."""
+    from trackdechets_etl_spark.streaming.events import idempotent_batch_writer
+
+    path = str(tmp_path / "sink")
+    write = idempotent_batch_writer(path)
+
+    b0 = spark.range(0, 100).withColumnRenamed("id", "k")
+    b1 = spark.range(100, 150).withColumnRenamed("id", "k")
+
+    write(b0, 0)
+    write(b1, 1)
+    once = spark.read.parquet(path)
+    assert once.count() == 150
+
+    # Replay batch 0 (same id, same data — the failure-recovery case).
+    write(b0, 0)
+    replayed = spark.read.parquet(path)
+    assert replayed.count() == 150, "replayed batch double-appended"
+    assert sorted(r["k"] for r in replayed.collect()) == list(range(150))
+    # Partition 1 untouched by the replay.
+    assert replayed.filter("batch_id = 1").count() == 50

@@ -28,61 +28,30 @@ class QuerySpec:
 # round (observed: CORRECTNESS_r01.json covers exactly keys 0-49).
 # Rotate queries that have not yet produced a green driver check to the
 # front, so successive rounds accumulate verified coverage of the whole
-# registry. Round 1 verified the original first 50 (all green except
-# the three array-column queries fixed this round, which re-verify now).
+# registry. Cumulative through r4: 145/154 green (see VERDICT r4); the
+# round-5 front below holds the 9 never-verified entries, everything
+# whose semantics changed this round, and the round-5 additions — the
+# remaining window slots re-verify module-order entries (green in r1).
 _VERIFY_FIRST = [
-    # never yet driver-verified after rounds 1-3 (registry positions 50+)
-    "agg_cube",
-    "decontaminate_ngram_overlap",
-    "events_set_ops_all",
-    "join_salted_skew",
-    "multimodal_resize",
-    "pack_sequences",
-    "revenue_share_pct",
-    "sample_mixture_weighted",
-    "scalar_dict_decode_join",
-    "select_quality_budget",
-    "split_train_val_test",
-    "text_scrub_pii",
-    "text_vocab_prune",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "window_rank_ratios",
-    # rows-only check (no oracle by construction)
-    "agg_coverage_stats_approx",
-    # new in round 4
-    "tpch_q2_min_price_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_suppliers_waiting",
-    "events_retention_cohorts",
-    "orders_market_basket",
-    "events_scd2_validity",
-    "text_chunk_overlap",
-    "text_repetition_stats",
-    "events_rfm_segments",
-    "graph_pagerank",
-    "diag_key_skew",
-    "hierarchy_roots",
+    # never yet driver-verified (added late in round 4)
+    "embedding_pc1",
+    "events_dwell_times",
+    "events_funnel_horizon",
+    "events_markov_transitions",
+    "events_windowed_dedup",
+    "orders_pareto",
+    "orders_ship_latency",
+    "orders_yoy_growth",
+    "text_lm_score",
+    # changed this round (ADVICE fixes / restructures) — re-verify
     "events_sessionize_ids",
-    "events_anomaly_zscore",
-    "diff_snapshots",
-    "dq_rule_violations",
-    "sample_weighted_reservoir",
-    "agg_stats_suite",
-    "agg_argminmax",
-    "string_agg_sorted",
-    "islands_gaps",
-    "events_running_distinct",
+    "tpch_q11_important_stock",
+    "orders_market_basket",
+    "pipeline_training_data",
+    # new in round 5
+    "join_dpp_partition_pruned",
+    "orders_ship_latency_approx",  # rows-only (GK sketch, no oracle)
+    "sim_pq_recall",
 ]
 
 
@@ -95,12 +64,24 @@ def all_queries() -> dict[str, QuerySpec]:
         llm,
         round4,
         round5,
+        scale,
         tpch2,
         training,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, llm, events, advanced, analytics, training, tpch2, round4, round5):
+    for mod in (
+        core,
+        llm,
+        events,
+        advanced,
+        analytics,
+        training,
+        tpch2,
+        round4,
+        round5,
+        scale,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -610,13 +610,12 @@ def _pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-clean's drop-all-pair-partners) → stratified exact-N per
     language. The output is the balanced training subset a 100 TB
     corpus pipeline ships."""
+    from pyspark.sql.window import Window
+
     from trackdechets_etl_spark.llm import text as TX
-    from trackdechets_etl_spark.llm.dedup import (
-        exact_canonical_ids,
-        ngram_jaccard_pairs,
-    )
+    from trackdechets_etl_spark.llm.dedup import ngram_jaccard_pairs
     from trackdechets_etl_spark.llm.tfidf import stratified_top_n
-    from trackdechets_etl_spark.operators.graph import dedup_clusters
+    from trackdechets_etl_spark.operators.graph import connected_components
     from trackdechets_etl_spark.queries.llm import JACCARD_THRESHOLD, QUALITY_KEEP
 
     d = read_table(spark, sf_dir, "documents")
@@ -624,14 +623,30 @@ def _pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_q = d.select("doc_id", "lang", score.alias("quality_score")).filter(
         F.col("quality_score") >= QUALITY_KEEP
     )
-    canon_exact = exact_canonical_ids(d, "text", "doc_id")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=JACCARD_THRESHOLD)
-    canon_near = (
-        dedup_clusters(d, pairs, "doc_id")
-        .filter(F.col("is_canonical"))
+    # Dedup via ANTI-joins against the NON-canonical id sets: a doc is
+    # canonical iff it does not LOSE a dedup tie, and the loser sets
+    # are dup-count-sized (tiny relative to the corpus) while the
+    # canonical sets are corpus-sized. Joining the small complement
+    # turns two corpus×corpus equi-joins into probes AQE broadcasts at
+    # any realistic dup rate — the shape that survives 100 TB.
+    wfp = Window.partitionBy("__fp")
+    non_canon_exact = (
+        d.select(F.md5(F.col("text")).alias("__fp"), "doc_id")
+        .withColumn("__keep", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") != F.col("__keep"))
         .select("doc_id")
     )
-    survivors = kept_q.join(canon_exact, "doc_id").join(canon_near, "doc_id")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", threshold=JACCARD_THRESHOLD)
+    # Docs in no near-dup pair are singleton clusters (canonical) — the
+    # component labeling only needs the pair participants.
+    non_canon_near = (
+        connected_components(pairs, "id_a", "id_b")
+        .filter(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    survivors = kept_q.join(non_canon_exact, "doc_id", "left_anti").join(
+        non_canon_near, "doc_id", "left_anti"
+    )
     return stratified_top_n(survivors, "lang", "doc_id", STRATA_N)
 
 

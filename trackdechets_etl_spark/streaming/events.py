@@ -189,6 +189,31 @@ def attribution_join(
     )
 
 
+def idempotent_batch_writer(path: str):
+    """Exactly-once ``foreachBatch`` sink pattern: each micro-batch
+    writes into its own ``batch_id=`` partition with DYNAMIC partition
+    overwrite, so a replayed batch id (failure after write, before the
+    checkpoint commit — the at-least-once window foreachBatch exposes)
+    REPLACES its previous attempt instead of double-appending. Readers
+    see exactly-once output; no transactional sink required.
+
+    At 100 TB this is the standard lakehouse recipe: partition the sink
+    by batch id (or ingestion date), overwrite only the replayed
+    partition — the overwrite touches one partition's files, never the
+    table."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return write
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion into an in-memory table
     using availableNow (processes all available input then stops)."""
