@@ -176,3 +176,22 @@ def test_pq_recall_beats_floor(spark):
     rows = _q("sim_pq_recall")(spark, SF_DIR).collect()
     mean_recall = sum(r.recall_at_5 for r in rows) / len(rows)
     assert mean_recall >= 0.4, mean_recall
+
+
+def test_ivfpq_topk_well_formed(spark):
+    """IVF-ADC returns ≤k ranked candidates per query, ranks contiguous
+    from 1, all candidates from the query's routed list (label), and
+    never the query itself."""
+    rows = _q("sim_ivfpq_topk")(spark, SF_DIR).collect()
+    emb = read_table(spark, SF_DIR, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+        assert r.c_id != r.q_id
+    for q_id, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(rs) <= 5
+        cand_labels = {labels[r.c_id] for r in rs}
+        assert len(cand_labels) == 1, "candidates must come from ONE routed list"

@@ -58,7 +58,7 @@ def explode_subspaces(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment per (vector, subspace): L2 distance
-    to each of the K centroids (8× fanout on a broadcast 512-row
+    to each of the K centroids (K× fanout on a broadcast M*K*DSUB-row
     codebook, then a map-side-combinable sum), argmin via row_number
     with the engine-stable (round(dist, 9), code) key."""
     d = (
@@ -95,18 +95,24 @@ def train_codebook(e: DataFrame) -> DataFrame:
         F.col("val").alias("cval"),
     )
     a0 = _assign(e, c0)
-    return (
+    cents = (
         e.join(a0, ["vid", "m"])
         .groupBy("m", "code", "i")
         .agg(F.avg("val").alias("cval"))
     )
+    # The codebook is consumed by encoding, query partials, AND norms;
+    # it is M*K*DSUB rows (~1k) — checkpoint so the Lloyd chain above
+    # runs once, not once per consumer.
+    return cents.localCheckpoint(eager=True)
 
 
 def pq_encode(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Final codes (vid, m, code) — M small ints per vector, the
     compressed representation that replaces the raw vectors in the
-    scoring pass."""
-    return _assign(e, cents)
+    scoring pass. Checkpointed: the scoring pass reads codes twice
+    (ADC lookups + candidate norms) and codes are n×M ints, the frame
+    PQ exists to make small."""
+    return _assign(e, cents).localCheckpoint(eager=True)
 
 
 def adc_topk(
@@ -140,6 +146,104 @@ def adc_topk(
     )
     adc = (
         codes.join(F.broadcast(partial), ["m", "code"])
+        .groupBy(F.col("vid").alias("c_id"), "q_id")
+        .agg(F.sum("pdot").alias("adot"))
+    )
+    scored = (
+        adc.join(cnorm, "c_id")
+        .join(F.broadcast(qnorm), "q_id")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (F.col("adot") / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cos", 6).alias("cos_approx"))
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_ids_max: int,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-ADC: the FAISS-style composition of the coarse inverted file
+    with PQ-compressed residual scoring — route each query to its
+    nearest list centroid (nprobe=1), then ADC-score ONLY that list's
+    candidates from their codes. The scoring pass touches M small ints
+    per candidate instead of the raw vector, and only candidates in the
+    routed list: work per query is |list|/|corpus| × 16×-compressed.
+    At 100 TB: codes live partitioned by list id (partition pruning on
+    the probe), the codebook and the query's M×K lookup table broadcast.
+    """
+    from trackdechets_etl_spark.llm.similarity import cosine, label_centroids
+
+    # --- coarse quantizer + query routing (same discipline as ivf_topk)
+    cents_coarse = label_centroids(emb, id_col, vec_col, label_col).select(
+        F.col(label_col).alias("__list"), F.col("centroid")
+    )
+    q = emb.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    routed = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents_coarse))
+        .select(
+            "q_id",
+            "__list",
+            cosine(F.col("q_vec"), F.col("centroid")).alias("__rcos"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("__rcos"), 9).desc(), F.col("__list").asc()
+    )
+    assigned = (
+        routed.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select("q_id", "__list")
+    )
+
+    # --- PQ codebook + codes over the full corpus
+    e = explode_subspaces(emb, id_col, vec_col).localCheckpoint(eager=True)
+    cents = train_codebook(e)
+    codes = pq_encode(e, cents)
+
+    # --- ADC restricted to the routed list
+    qe = e.filter(F.col("vid") < query_ids_max)
+    partial = (
+        qe.join(F.broadcast(cents), ["m", "i"])
+        .groupBy(F.col("vid").alias("q_id"), "m", "code")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("pdot"))
+    )
+    cn2 = cents.groupBy("m", "code").agg(
+        F.sum(F.col("cval") * F.col("cval")).alias("n2")
+    )
+    labels = emb.select(
+        F.col(id_col).alias("vid"), F.col(label_col).alias("__list")
+    )
+    cand_codes = codes.join(labels, "vid").join(
+        F.broadcast(assigned), "__list"
+    )
+    cnorm = (
+        codes.join(F.broadcast(cn2), ["m", "code"])
+        .groupBy(F.col("vid").alias("c_id"))
+        .agg(F.sqrt(F.sum("n2")).alias("cnorm"))
+    )
+    qnorm = qe.groupBy(F.col("vid").alias("q_id")).agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qnorm")
+    )
+    adc = (
+        cand_codes.join(F.broadcast(partial), ["q_id", "m", "code"])
         .groupBy(F.col("vid").alias("c_id"), "q_id")
         .agg(F.sum("pdot").alias("adot"))
     )

@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     "join_dpp_partition_pruned",
     "orders_ship_latency_approx",  # rows-only (GK sketch, no oracle)
     "sim_pq_recall",
+    "sim_ivfpq_topk",
 ]
 
 
