@@ -189,3 +189,35 @@ def test_dpp_prunes_customer_partitions(spark):
     )
     assert "PartitionFilters" in plan
     assert "BroadcastHashJoin" in plan, "nation dim should broadcast"
+
+
+def test_stats_pushes_aggregate_through_name_fanout(spark):
+    """pipeline_siretisation_stats must take the aggregation-pushdown
+    fast path: the company side of the J2 name join is pre-aggregated
+    to one row per nom (max valid candidate + any-invalid flag), so no
+    fact × fact fanout appears anywhere in the stats plan — the shape
+    that stays bounded under hot company names at 100 TB. The enriched
+    variant keeps the faithful fanout (its output IS the fanout)."""
+    plan = _plan(REGISTRY["pipeline_siretisation_stats"].fn(spark, SF_DIR))
+    assert "max(CASE WHEN (length(siret_candidate" in plan, (
+        "comp side not pre-aggregated before the name join"
+    )
+    assert "SortMergeJoin" not in plan, (
+        "stats path should be all-broadcast joins over the fact spine"
+    )
+
+
+def test_stats_fast_path_equals_fanout_path(spark):
+    """The pushdown algebra (docstring of siretisation_stats) must give
+    bit-identical stats to the faithful fanout chain."""
+    from trackdechets_etl_spark.operators.stats import coverage_stats
+    from trackdechets_etl_spark.plans.icpe_siretisation import (
+        enrich_installations,
+        siretisation_stats,
+    )
+
+    fast = siretisation_stats(spark, SF_DIR).collect()
+    slow = coverage_stats(
+        enrich_installations(spark, SF_DIR), "code_s3ic", "siret_final"
+    ).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]

@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from trackdechets_etl_spark.functions.predicates import in_either_list, prefix_match
+from trackdechets_etl_spark.functions.predicates import (
+    in_either_list,
+    length_is,
+    prefix_match,
+)
 from trackdechets_etl_spark.functions.scalar import (
     backfill_if_invalid,
     concat_null_to_empty,
@@ -111,6 +115,34 @@ SELECT code_s3ic, inst_id, rubrique_alinea FROM (
 """
 
 
+def _pre_name_join(
+    inst: DataFrame, etab: DataFrame, gerep_df: DataFrame
+) -> DataFrame:
+    """Steps 1-2 (J1 broadcast enrich + GEREP keep-last/backfill) —
+    everything up to but excluding the J2 company name join. Shared by
+    the faithful fanout chain and the stats fast path."""
+    j1 = enrich_left(
+        inst, etab.select("code_s3ic", "nom_ets", "siret"), "code_s3ic"
+    ).select("code_s3ic", "inst_id", "nom_ets", "siret")
+
+    g = keep_last_by(
+        gerep_df,
+        ["code_etablissement"],
+        ["annee", "numero_siret"],
+        descending=True,
+    ).select(
+        lpad_code(F.col("code_etablissement"), 10).alias("code_s3ic"),
+        F.col("numero_siret").alias("gerep_siret"),
+    )
+    j3 = enrich_left(j1, g, "code_s3ic")
+    return j3.select(
+        "code_s3ic",
+        "inst_id",
+        "nom_ets",
+        backfill_if_invalid(F.col("siret"), F.col("gerep_siret")).alias("siret2"),
+    )
+
+
 def enrich_installations_frames(
     inst: DataFrame,
     etab: DataFrame,
@@ -129,27 +161,7 @@ def enrich_installations_frames(
       annee
     - ``comp``:  nom, siret_candidate, ``extra_cols``
     """
-    j1 = enrich_left(inst, etab.select("code_s3ic", "nom_ets", "siret"), "code_s3ic").select(
-        "code_s3ic", "inst_id", "nom_ets", "siret"
-    )
-
-    g = keep_last_by(
-        gerep_df,
-        ["code_etablissement"],
-        ["annee", "numero_siret"],
-        descending=True,
-    ).select(
-        lpad_code(F.col("code_etablissement"), 10).alias("code_s3ic"),
-        F.col("numero_siret").alias("gerep_siret"),
-    )
-    j3 = enrich_left(j1, g, "code_s3ic")
-    b1 = j3.select(
-        "code_s3ic",
-        "inst_id",
-        "nom_ets",
-        backfill_if_invalid(F.col("siret"), F.col("gerep_siret")).alias("siret2"),
-    )
-
+    b1 = _pre_name_join(inst, etab, gerep_df)
     j2 = b1.join(comp, b1.nom_ets == comp.nom, "left")
     return j2.select(
         "code_s3ic",
@@ -179,10 +191,58 @@ def siretisation_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def siretisation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Step 4: make_stats on the enriched frame (post-enrichment run of
-    the reference's A/B pair, :408-409)."""
-    return coverage_stats(
-        enrich_installations(spark, sf_dir), "code_s3ic", "siret_final"
+    the reference's A/B pair, :408-409).
+
+    Fast path — aggregation pushdown through the J2 fanout join. The
+    stats only consume ``max(siret_final)`` per ``code_s3ic``, and the
+    per-row max over a row's matching company candidates is a function
+    of just two per-``nom`` aggregates::
+
+        max_cand(nom) = max(candidate)            WHERE len = 14
+        has_inv(nom)  = 1 iff any candidate has len <> 14 (incl. null)
+
+        max over candidates of backfill(siret2, cand)
+          = siret2                                if len(siret2) = 14
+          = siret2                                if nom has no match
+          = greatest(max_cand,
+                     siret2 if has_inv else null) otherwise
+
+    (valid candidates contribute themselves, invalid ones contribute
+    ``siret2``; ``F.greatest`` skips nulls). So the fact × fact
+    many-to-many name join — the one part of this DAG that explodes at
+    100 TB (hot company names, SURVEY §2.9.3) — collapses to a join
+    against a distinct-name-sized pre-aggregate that AQE broadcasts.
+    ``siretisation_enriched`` keeps the faithful fanout (its OUTPUT is
+    the fanout); the oracle SQL is the unrewritten fanout formulation,
+    so the driver hash-check proves the algebra. Equality with the
+    fanout path is also pinned in tests/test_plans.py."""
+    b1 = _pre_name_join(
+        FX.installations(spark, sf_dir),
+        FX.etablissements(spark, sf_dir),
+        FX.gerep(spark, sf_dir),
     )
+    comp = FX.company(spark, sf_dir)
+    cand_agg = comp.groupBy("nom").agg(
+        F.max(
+            F.when(length_is(F.col("siret_candidate"), 14), F.col("siret_candidate"))
+        ).alias("__max_cand"),
+        F.max(
+            F.when(length_is(F.col("siret_candidate"), 14), F.lit(0)).otherwise(1)
+        ).alias("__has_inv"),
+    )
+    joined = b1.join(cand_agg, b1.nom_ets == cand_agg.nom, "left")
+    siret_final = (
+        F.when(length_is(F.col("siret2"), 14), F.col("siret2"))
+        .when(F.col("nom").isNull(), F.col("siret2"))
+        .otherwise(
+            F.greatest(
+                F.col("__max_cand"),
+                F.when(F.col("__has_inv") == 1, F.col("siret2")),
+            )
+        )
+    )
+    frame = joined.select("code_s3ic", siret_final.alias("siret_final"))
+    return coverage_stats(frame, "code_s3ic", "siret_final")
 
 
 SIRETISATION_STATS_PRE_SQL = f"""{_FIX}
