@@ -1,0 +1,162 @@
+"""Invariant tests for the round-5 late additions (queries/round6.py):
+the spatial grid join's losslessness is proven IN SPARK against the
+naive cross join (the oracle proves it again against DuckDB), EWMA
+against its defining recursion, the weighted median against its
+cumulative-weight definition, and the forward-fill against a driver-side
+replay of the carry."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from trackdechets_etl_spark.queries import all_queries
+
+REGISTRY = all_queries()
+
+
+# ----------------------------------------------------------- grid join
+
+
+def test_grid_join_equals_naive_cross_join(spark):
+    """Bucketing + 3×3 neighbor replication must return EXACTLY the
+    pairs the naive quadratic join returns — including radius-boundary
+    and cell-boundary points."""
+    from trackdechets_etl_spark.operators.spatial import grid_join_within_radius
+
+    pts = [(i, (i * 37) % 200, (i * 83) % 200) for i in range(120)]
+    a = spark.createDataFrame(pts, "id_a long, x long, y long")
+    b = spark.createDataFrame(
+        [(j, (j * 59 + 7) % 200, (j * 17 + 3) % 200) for j in range(80)],
+        "id_b long, sx long, sy long",
+    )
+    r = 25
+    fast = {
+        (row.id_a, row.id_b)
+        for row in grid_join_within_radius(
+            a, b, ("x", "y"), ("sx", "sy"), radius=r, cell=32
+        ).collect()
+    }
+    d2 = (F.col("x") - F.col("sx")) ** 2 + (F.col("y") - F.col("sy")) ** 2
+    naive = {
+        (row.id_a, row.id_b)
+        for row in a.crossJoin(b).filter(d2 <= r * r).collect()
+    }
+    assert fast == naive
+    assert len(naive) > 0, "degenerate test: no pairs within radius"
+
+
+def test_grid_join_rejects_cell_smaller_than_radius(spark):
+    from trackdechets_etl_spark.operators.spatial import grid_join_within_radius
+
+    a = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    try:
+        grid_join_within_radius(a, a, ("x", "y"), ("x", "y"), radius=10, cell=5)
+    except ValueError:
+        return
+    raise AssertionError("cell < radius must be rejected (lossy bucketing)")
+
+
+def test_grid_spatial_plan_has_no_cartesian(spark):
+    """The registry query must run as an equi-join on the cell key —
+    never a cross/nested-loop join (what a naive distance join
+    degenerates to)."""
+    df = REGISTRY["join_grid_spatial"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------- EWMA
+
+
+def test_ewma_matches_defining_recursion(spark):
+    from trackdechets_etl_spark.queries.round6 import _EWMA_ALPHA
+
+    rows = REGISTRY["events_ewma_daily"].fn(spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert len(by_type) >= 3
+    for series in by_type.values():
+        series.sort(key=lambda r: r.day)
+        s = None
+        for r in series:
+            x = r.daily_value
+            s = x if s is None else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * s
+            # query rounds daily_value at 2 and ewma at 6; replaying the
+            # recursion on the rounded dailies stays within ~1e-5
+            assert math.isclose(r.ewma, s, rel_tol=1e-4, abs_tol=1e-4), (
+                r.event_type,
+                r.day,
+                r.ewma,
+                s,
+            )
+
+
+# ----------------------------------------------------- weighted median
+
+
+def test_weighted_median_satisfies_definition(spark):
+    med = {
+        r.p_brand: (r.weighted_median_price, r.total_weight)
+        for r in REGISTRY["weighted_median_parts"].fn(spark, SF_DIR).collect()
+    }
+    parts = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select("p_brand", "p_retailprice", "p_size")
+        .collect()
+    )
+    by_brand: dict[str, list] = {}
+    for r in parts:
+        by_brand.setdefault(r.p_brand, []).append((r.p_retailprice, r.p_size))
+    for brand, rows in by_brand.items():
+        m, tot = med[brand]
+        assert tot == sum(w for _, w in rows)
+        below = sum(w for price, w in rows if price < m)
+        at_or_below = sum(w for price, w in rows if price <= m)
+        # median def: strictly-below mass < half, mass through the
+        # median reaches half
+        assert 2 * below < tot or math.isclose(2 * below, tot)
+        assert 2 * at_or_below >= tot
+
+
+# ------------------------------------------------------------- ffill
+
+
+def test_gap_ffill_dense_spine_and_carry(spark):
+    rows = REGISTRY["events_gap_ffill"].fn(spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    lengths = {len(v) for v in by_type.values()}
+    assert len(lengths) == 1, "every type must get the identical spine"
+    n_events_total = sum(r.n_events for r in rows)
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert n_events_total == raw, "gap rows must not invent events"
+    for series in by_type.values():
+        series.sort(key=lambda r: r.bucket_ts)
+        carry = None
+        for r in series:
+            if r.n_events == 0:
+                assert r.avg_value_ffill == carry
+            else:
+                assert r.avg_value_ffill is not None
+            carry = r.avg_value_ffill
+
+
+# ---------------------------------------------------------- BPE pairs
+
+
+def test_bpe_pairs_shape(spark):
+    rows = REGISTRY["text_bpe_pairs"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 40
+    assert all(len(r.pair) == 2 for r in rows)
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)

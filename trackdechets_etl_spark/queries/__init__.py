@@ -53,6 +53,13 @@ _VERIFY_FIRST = [
     "orders_ship_latency_approx",  # rows-only (GK sketch, no oracle)
     "sim_pq_recall",
     "sim_ivfpq_topk",
+    "events_gap_ffill",
+    "events_ewma_daily",
+    "weighted_median_parts",
+    "join_grid_spatial",
+    "text_bpe_pairs",
+    # semantics changed in round 5 (stats fast path) — re-verify
+    "pipeline_siretisation_stats",
 ]
 
 
@@ -65,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm,
         round4,
         round5,
+        round6,
         scale,
         tpch2,
         training,
@@ -82,6 +90,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round4,
         round5,
         scale,
+        round6,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

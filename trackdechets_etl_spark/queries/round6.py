@@ -1,0 +1,335 @@
+"""Round-5 late additions: sequential statistics and the spatial join.
+
+Five operator families a reference user (or a 100 TB training-data
+pipeline) reaches for that were not yet first-class:
+
+- ``events_gap_ffill``   — calendar-spine resample + FORWARD-fill
+  (``last value IGNORE NULLS``), the stateful twin of the zero-filling
+  ``events_gap_fill``.
+- ``events_ewma_daily``  — exponentially weighted moving average as a
+  closed-form window expression (no recursion, no UDF).
+- ``weighted_median_parts`` — weighted median via cumulative-weight
+  windows, integer-exact.
+- ``join_grid_spatial``  — radius join through the grid-bucketed
+  operator in ``operators/spatial.py`` (oracle runs the naive
+  inequality join; hash equality proves the bucketing is lossless).
+- ``text_bpe_pairs``     — adjacent character-pair frequencies inside
+  words: the merge-candidate statistic a BPE tokenizer trainer
+  computes each round (word bigrams are ``text_top_bigrams``; this is
+  the intra-word, character-level counterpart).
+
+All five are pure DataFrame algebra with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.queries import QuerySpec
+
+# ------------------------------------------------- gap-fill + forward-fill
+
+
+def _events_gap_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample per event type with gaps carried forward: build
+    the full [min hour, max hour] spine once (one-row bounds aggregate
+    → ``sequence`` → explode; spine size is |range| × |types|,
+    independent of event count), left-join the hourly aggregate, then
+    forward-fill with ``last(ignorenulls=True)`` over the per-type
+    hour ordering. One shuffle for the aggregate, one window pass —
+    the fill never revisits the raw events. Hours before a type's
+    first event stay null (nothing to carry)."""
+    e = read_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("bucket_ts")
+    )
+    types = e.select("event_type").distinct()
+    agg = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("__n"), F.avg("value").alias("__av"))
+    grid = spine.crossJoin(F.broadcast(types)).join(
+        agg, ["event_type", "bucket_ts"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.last("__av", ignorenulls=True).over(w), 4).alias(
+            "avg_value_ffill"
+        ),
+    )
+
+
+EVENTS_GAP_FFILL_SQL = """
+WITH b AS (
+    SELECT date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1 FROM events),
+spine AS (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_ts
+    FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           count(*) AS n, avg(value) AS av
+    FROM events GROUP BY 1, 2),
+grid AS (
+    SELECT t.event_type, s.bucket_ts, a.n, a.av
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN agg a
+      ON a.event_type = t.event_type AND a.bucket_ts = s.bucket_ts)
+SELECT event_type, bucket_ts,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       round(last_value(av IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS avg_value_ffill
+FROM grid
+"""
+
+
+# --------------------------------------------------------------- EWMA
+
+_EWMA_ALPHA = 0.3
+
+
+def _events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily EWMA of event value per type, as a CLOSED-FORM window
+    expression — the recursion ``s_t = α·x_t + (1-α)·s_{t-1}`` with
+    seed ``s_0 = x_0`` expands to::
+
+        s_t = (1-α)^t · ( x_0 + α · Σ_{i=1..t} x_i · (1-α)^(-i) )
+
+    so one cumulative window sum computes every s_t in a single
+    partition pass — no iteration, no UDF, no state. Both engines
+    evaluate running sums in frame order, so the float association
+    order is identical and the oracle hash-matches. The ``(1-α)^(-i)``
+    terms stay bounded because the day index is per-type and the event
+    range spans ~31 days (0.7^-31 ≈ 6e4; the formulation is restartable
+    per window for unbounded series)."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a = _EWMA_ALPHA
+    t = F.row_number().over(wo) - 1
+    u = F.when(t == 0, 0.0).otherwise(
+        F.col("x") * F.pow(F.lit(1 - a), -t)
+    )
+    daily = daily.withColumn("__t", t).withColumn("__u", u)
+    ewma = F.pow(F.lit(1 - a), F.col("__t")) * (
+        F.first("x").over(wc) + a * F.sum("__u").over(wc)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round("x", 2).alias("daily_value"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+EVENTS_EWMA_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS x
+    FROM events GROUP BY 1, 2),
+idx AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t
+    FROM daily),
+terms AS (
+    SELECT *,
+           CASE WHEN t = 0 THEN 0.0
+                ELSE x * pow({1 - _EWMA_ALPHA}, -t) END AS u
+    FROM idx)
+SELECT event_type, day, round(x, 2) AS daily_value,
+       round(pow({1 - _EWMA_ALPHA}, t) * (
+           first_value(x) OVER w + {_EWMA_ALPHA} * sum(u) OVER w), 6)
+           AS ewma
+FROM terms
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ----------------------------------------------------- weighted median
+
+
+def _weighted_median_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median of part retail price per brand, weighted by
+    p_size: the smallest price whose cumulative weight reaches half
+    the brand's total. Cumulative + total weights are two frames over
+    one (brand, price) ordering — a single shuffle — and the halfway
+    test ``2·cum >= total`` stays in integers, so the result is
+    engine-exact with no float threshold (the tpch_q11 lesson)."""
+    p = read_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    wo = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    cum = F.sum("p_size").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("p_size").over(Window.partitionBy("p_brand"))
+    q = p.withColumn("__cum", cum).withColumn("__tot", total)
+    return (
+        q.filter(2 * F.col("__cum") >= F.col("__tot"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.min("p_retailprice"), 2).alias("weighted_median_price"),
+            F.min("__tot").cast("long").alias("total_weight"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH q AS (
+    SELECT p_brand, p_retailprice,
+           sum(p_size) OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(p_size) OVER (PARTITION BY p_brand) AS tot
+    FROM part)
+SELECT p_brand,
+       round(min(p_retailprice), 2) AS weighted_median_price,
+       CAST(min(tot) AS BIGINT) AS total_weight
+FROM q WHERE 2 * cum >= tot
+GROUP BY p_brand
+"""
+
+
+# ------------------------------------------------------- spatial join
+
+_GRID_RADIUS = 60
+_GRID_CELL = 64
+_COORD_MOD = 1000
+
+
+def _coords(df: DataFrame, key: str, salt: int) -> DataFrame:
+    """Deterministic integer plane coordinates synthesized from an id
+    column (the corpus has no geo columns; FIXTURES.md discipline:
+    defined identically in Spark and SQL so the oracle sees the same
+    points)."""
+    k = F.col(key)
+    return df.withColumn("x", (k * 7919 + salt) % _COORD_MOD).withColumn(
+        "y", (k * 104729 + salt * 3) % _COORD_MOD
+    )
+
+
+def _join_grid_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers within radius 60 of a supplier on the synthetic
+    integer plane, via :func:`operators.spatial.grid_join_within_radius`
+    — grid cells + 3×3 neighbor replication of the supplier side, then
+    the exact integer refine. The oracle is the NAIVE inequality join;
+    the hash match proves the bucketing plan is lossless. Output is the
+    per-customer neighbor count + closest squared distance."""
+    from trackdechets_etl_spark.operators.spatial import grid_join_within_radius
+
+    cust = _coords(
+        read_table(spark, sf_dir, "customer").select("c_custkey"),
+        "c_custkey",
+        0,
+    )
+    supp = _coords(
+        read_table(spark, sf_dir, "supplier").select("s_suppkey"),
+        "s_suppkey",
+        500,
+    ).withColumnRenamed("x", "sx").withColumnRenamed("y", "sy")
+    pairs = grid_join_within_radius(
+        cust, supp, ("x", "y"), ("sx", "sy"), radius=_GRID_RADIUS, cell=_GRID_CELL
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    return (
+        pairs.select("c_custkey", d2.alias("__d2"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.min("__d2").cast("long").alias("min_d2"),
+        )
+    )
+
+
+GRID_SPATIAL_SQL = f"""
+WITH c AS (
+    SELECT c_custkey,
+           (c_custkey * 7919) % {_COORD_MOD} AS x,
+           (c_custkey * 104729) % {_COORD_MOD} AS y
+    FROM customer),
+s AS (
+    SELECT (s_suppkey * 7919 + 500) % {_COORD_MOD} AS sx,
+           (s_suppkey * 104729 + 1500) % {_COORD_MOD} AS sy
+    FROM supplier)
+SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_near,
+       CAST(min((x - sx) * (x - sx) + (y - sy) * (y - sy)) AS BIGINT)
+           AS min_d2
+FROM c JOIN s
+  ON (x - sx) * (x - sx) + (y - sy) * (y - sy)
+     <= {_GRID_RADIUS * _GRID_RADIUS}
+GROUP BY c_custkey
+"""
+
+
+# ------------------------------------------------------ BPE pair stats
+
+_BPE_TOP = 40
+
+
+def _text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies within words — the statistic
+    a BPE tokenizer trainer recomputes to pick each merge (word-level
+    bigrams are ``text_top_bigrams``; this is the character level).
+    Pairs come from ``substr(word, i, 2)`` over an exploded position
+    sequence — pure column algebra, distributed hash count, TakeOrdered
+    top-k; ties broken by pair text so the cut is deterministic."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(_BPE_TOP)
+    )
+
+
+TEXT_BPE_PAIRS_SQL = f"""
+WITH words AS (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents),
+pairs AS (
+    SELECT substr(w, CAST(i AS INT), 2) AS pair
+    FROM words, unnest(generate_series(1, length(w) - 1)) AS u(i)
+    WHERE length(w) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1
+ORDER BY n DESC, pair ASC LIMIT {_BPE_TOP}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_gap_ffill": QuerySpec(_events_gap_ffill, EVENTS_GAP_FFILL_SQL),
+    "events_ewma_daily": QuerySpec(_events_ewma_daily, EVENTS_EWMA_SQL),
+    "weighted_median_parts": QuerySpec(
+        _weighted_median_parts, WEIGHTED_MEDIAN_SQL
+    ),
+    "join_grid_spatial": QuerySpec(_join_grid_spatial, GRID_SPATIAL_SQL),
+    "text_bpe_pairs": QuerySpec(_text_bpe_pairs, TEXT_BPE_PAIRS_SQL),
+}
