@@ -71,7 +71,12 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
-def _pair_jaccard(sh: DataFrame, id_col: str, candidates: DataFrame | None = None) -> DataFrame:
+def _pair_jaccard(
+    sh: DataFrame,
+    id_col: str,
+    candidates: DataFrame | None = None,
+    keyed: bool = False,
+) -> DataFrame:
     """Jaccard for doc pairs from a shingle table; optionally restricted
     to a candidate-pair frame (id_a, id_b).
 
@@ -85,8 +90,11 @@ def _pair_jaccard(sh: DataFrame, id_col: str, candidates: DataFrame | None = Non
     shuffle moves 8-byte keys instead of ~25-byte strings and the join
     compares longs. Intersection counts are unchanged unless two
     distinct shingles of the same doc pair collide in 64 bits
-    (p ≈ n²/2^65 — negligible at any realistic shingle count)."""
-    sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    (p ≈ n²/2^65 — negligible at any realistic shingle count).
+    ``keyed=True`` marks a caller-provided already-xxhash64-keyed
+    shingle frame (so a shared checkpointed frame isn't re-keyed)."""
+    if not keyed:
+        sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -165,7 +173,16 @@ def ngram_jaccard_pairs(
     if not prefix_filter:
         return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
-    keyed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("k"))
+    # One keyed shingle frame feeds FOUR consumers (sizes, the prefix
+    # window, and both sides of the verification join); lazily
+    # checkpoint it so the split+transform+explode of the raw text runs
+    # once, not per consumer. Lazy = materialized by the query's own
+    # first action, one job (the connected-components lesson in
+    # docs/SCALE.md); measured at sf0.1: 1.76s → 1.53s.
+    keyed = (
+        sh.select(F.col(id_col), F.xxhash64("shingle").alias("k"))
+        .localCheckpoint(eager=False)
+    )
     sizes = keyed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     w = Window.partitionBy(id_col).orderBy("k")
     # prefix length |d| - ceil(t*|d|) + 1; the 1e-9 keeps ceil from
@@ -196,9 +213,9 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _pair_jaccard(sh, id_col, candidates).filter(
-        F.col("jaccard") >= threshold
-    )
+    return _pair_jaccard(
+        keyed.withColumnRenamed("k", "shingle"), id_col, candidates, keyed=True
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_signatures(sh: DataFrame, id_col: str, n_hashes: int = N_MINHASH) -> DataFrame:
