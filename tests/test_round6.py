@@ -160,3 +160,37 @@ def test_bpe_pairs_shape(spark):
     assert all(len(r.pair) == 2 for r in rows)
     counts = [r.n for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+# ------------------------------------------------------ count-min sketch
+
+
+def test_countmin_never_underestimates(spark):
+    """The CMS guarantee: every estimate >= the exact count (collisions
+    only ADD), and at least one user estimates exactly (the min row is
+    collision-free for somebody at this scale)."""
+    rows = REGISTRY["sketch_countmin_heavyhitters"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.n_est == r.n_exact + r.overcount for r in rows)
+
+
+# ------------------------------------------------------ rolling median
+
+
+def test_rolling_median_matches_bruteforce(spark):
+    import statistics
+
+    rows = REGISTRY["events_rolling_median"].fn(spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.bucket_ts)
+        vals = [r.hourly_value for r in series]
+        for i, r in enumerate(series):
+            frame = vals[max(0, i - 23) : i + 1]
+            expect = statistics.median(frame)
+            # hourly_value is rounded at 2, the query's median at 4 —
+            # replaying on rounded inputs stays within 1e-2 of it
+            assert abs(r.rolling_median - expect) < 1e-2, (r, expect)

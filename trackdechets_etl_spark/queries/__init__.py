@@ -58,6 +58,8 @@ _VERIFY_FIRST = [
     "weighted_median_parts",
     "join_grid_spatial",
     "text_bpe_pairs",
+    "sketch_countmin_heavyhitters",
+    "events_rolling_median",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]

@@ -324,6 +324,131 @@ ORDER BY n DESC, pair ASC LIMIT {_BPE_TOP}
 """
 
 
+# ------------------------------------------------- count-min sketch
+
+_CMS_DEPTH = 4  # independent hash rows
+# width = 256 buckets: bucket id is the first two hex nibbles of
+# md5(seed:key) — the repo's engine-portable hash (training.py uses the
+# same trick for splits), no int conversion needed in either engine.
+
+
+def _sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for per-user event counts,
+    next to the exact counts — the mergeable fixed-memory structure
+    that replaces exact per-key counting when the key cardinality
+    itself is the problem at 100 TB. The sketch is pure DataFrame
+    algebra: the counter table is a groupBy over (hash row, bucket) —
+    map-side partial aggregation means the shuffle carries at most
+    depth × width = 1024 rows per map partition regardless of event
+    count — and the estimate is the min over hash rows of the joined
+    counters (broadcast: the counter table is ≤ 1024 rows). Hashes are
+    md5-based and deterministic, so unlike the HLL/GK twins this sketch
+    is fully DuckDB-oracle-checkable, and the CMS guarantee
+    (estimate >= exact, always) is pinned in tests/test_round6.py."""
+    e = read_table(spark, sf_dir, "events").select("user_id")
+    seeds = F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
+
+    def bucket(d, key):  # first two hex nibbles of md5("d:key")
+        return F.substring(
+            F.md5(F.concat(d.cast("string"), F.lit(":"), key.cast("string"))),
+            1,
+            2,
+        )
+
+    hashed = e.select(
+        "user_id", F.explode(seeds).alias("d")
+    ).withColumn("b", bucket(F.col("d"), F.col("user_id")))
+    counters = hashed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    users = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = (
+        users.select("user_id", F.explode(seeds).alias("d"))
+        .withColumn("b", bucket(F.col("d"), F.col("user_id")))
+        .join(F.broadcast(counters), ["d", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("n_est"))
+    )
+    return users.join(est, "user_id").select(
+        "user_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_est").cast("long").alias("n_est"),
+        (F.col("n_est") - F.col("n_exact")).cast("long").alias("overcount"),
+    )
+
+
+SKETCH_CMS_SQL = f"""
+WITH seeds AS (
+    SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d),
+ev AS (SELECT user_id FROM events),
+hashed AS (
+    SELECT user_id, d,
+           substr(md5(CAST(d AS VARCHAR) || ':' ||
+                      CAST(user_id AS VARCHAR)), 1, 2) AS b
+    FROM ev CROSS JOIN seeds),
+counters AS (SELECT d, b, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+users AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1),
+est AS (
+    SELECT u.user_id, min(c.cnt) AS n_est
+    FROM users u CROSS JOIN seeds s
+    JOIN counters c
+      ON c.d = s.d
+     AND c.b = substr(md5(CAST(s.d AS VARCHAR) || ':' ||
+                          CAST(u.user_id AS VARCHAR)), 1, 2)
+    GROUP BY 1)
+SELECT u.user_id,
+       CAST(u.n_exact AS BIGINT) AS n_exact,
+       CAST(e.n_est AS BIGINT) AS n_est,
+       CAST(e.n_est - u.n_exact AS BIGINT) AS overcount
+FROM users u JOIN est e USING (user_id)
+"""
+
+
+# ----------------------------------------------------- rolling median
+
+_ROLL_HOURS = 24
+
+
+def _events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-bucket rolling MEDIAN of hourly value totals per
+    event type — the robust-smoothing twin of ``events_moving_avg``
+    (a mean is one running sum; an exact median must sort the frame,
+    which Spark's ``percentile`` window aggregate does per frame —
+    fine for fixed 24-row frames, the approx twin pattern applies when
+    frames grow). Both engines define linear interpolation
+    (``percentile`` ↔ ``quantile_cont``), so results hash-match."""
+    e = read_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.sum("value").alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-(_ROLL_HOURS - 1), Window.currentRow)
+    )
+    return hourly.select(
+        "event_type",
+        "bucket_ts",
+        F.round("v", 2).alias("hourly_value"),
+        F.round(F.expr("percentile(v, 0.5)").over(w), 4).alias(
+            "rolling_median"
+        ),
+    )
+
+
+EVENTS_ROLLING_MEDIAN_SQL = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           sum(value) AS v
+    FROM events GROUP BY 1, 2)
+SELECT event_type, bucket_ts,
+       round(v, 2) AS hourly_value,
+       round(quantile_cont(v, 0.5) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN {_ROLL_HOURS - 1} PRECEDING AND CURRENT ROW), 4)
+           AS rolling_median
+FROM hourly
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_gap_ffill": QuerySpec(_events_gap_ffill, EVENTS_GAP_FFILL_SQL),
     "events_ewma_daily": QuerySpec(_events_ewma_daily, EVENTS_EWMA_SQL),
@@ -332,4 +457,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "join_grid_spatial": QuerySpec(_join_grid_spatial, GRID_SPATIAL_SQL),
     "text_bpe_pairs": QuerySpec(_text_bpe_pairs, TEXT_BPE_PAIRS_SQL),
+    "sketch_countmin_heavyhitters": QuerySpec(_sketch_countmin, SKETCH_CMS_SQL),
+    "events_rolling_median": QuerySpec(
+        _events_rolling_median, EVENTS_ROLLING_MEDIAN_SQL
+    ),
 }
