@@ -194,3 +194,20 @@ def test_rolling_median_matches_bruteforce(spark):
             # hourly_value is rounded at 2, the query's median at 4 —
             # replaying on rounded inputs stays within 1e-2 of it
             assert abs(r.rolling_median - expect) < 1e-2, (r, expect)
+
+
+# --------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_covers_batch_only(spark):
+    """Every output row is a batch doc (doc_id % 10 == 0), each batch
+    doc appears exactly once, and any exact duplicate of a corpus doc
+    must also be an n-gram near-dup of it (identical text ⇒ J = 1)."""
+    rows = REGISTRY["dedup_incremental_batch"].fn(spark, SF_DIR).collect()
+    assert rows
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(i % 10 == 0 for i in ids)
+    for r in rows:
+        if r.is_exact_dup:
+            assert r.n_near_corpus >= 1, r

@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "text_bpe_pairs",
     "sketch_countmin_heavyhitters",
     "events_rolling_median",
+    "dedup_incremental_batch",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]

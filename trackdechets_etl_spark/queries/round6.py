@@ -449,6 +449,106 @@ FROM hourly
 """
 
 
+# -------------------------------------------- incremental corpus dedup
+
+_INCR_MOD = 10  # doc_id % 10 == 0 → the "incoming batch"
+
+
+def _dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an incoming batch is checked against
+    the EXISTING corpus — exact duplicates by md5 fingerprint
+    (left-semi probe, the shuffle carries 32-byte keys) and near-dups
+    by n-gram Jaccard where candidates come from the shingle inverted
+    index restricted to batch × corpus. The corpus is only ever
+    PROBED, never self-joined — per-ingest cost scales with the batch,
+    not the corpus, which is what makes continuous dedup affordable at
+    100 TB (the full self-join variants are the backfill path). Here
+    the batch is ``doc_id % {mod} == 0``.""".format(mod=_INCR_MOD)
+    from trackdechets_etl_spark.llm.dedup import _pair_jaccard, shingles
+    from trackdechets_etl_spark.queries.llm import JACCARD_THRESHOLD
+
+    d = read_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    new = d.filter(is_new)
+    corpus = d.filter(~is_new)
+
+    new_fp = new.select("doc_id", F.md5("text").alias("__fp"))
+    corpus_fp = corpus.select(F.md5("text").alias("__fp")).distinct()
+    exact = (
+        new_fp.join(corpus_fp, "__fp", "left_semi")
+        .select("doc_id")
+        .withColumn("__exact", F.lit(1))
+    )
+
+    sh_all = shingles(d, "text", "doc_id", 3)
+    sh_new = sh_all.filter(F.col("doc_id") % _INCR_MOD == 0)
+    sh_corpus = sh_all.filter(F.col("doc_id") % _INCR_MOD != 0)
+    candidates = (
+        sh_new.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(
+            sh_corpus.select(F.col("doc_id").alias("id_b"), "shingle"),
+            "shingle",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    near = (
+        _pair_jaccard(sh_all, "doc_id", candidates)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+        .withColumnRenamed("id_a", "doc_id")
+    )
+    return (
+        new.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__exact", F.lit(0)).cast("long").alias("is_exact_dup"),
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near_corpus"),
+        )
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    from trackdechets_etl_spark.queries.llm import _SHINGLES, JACCARD_THRESHOLD
+
+    return f"""
+WITH {_SHINGLES},
+new_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % {_INCR_MOD} = 0),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % {_INCR_MOD} <> 0),
+exact AS (
+    SELECT n.doc_id, 1 AS is_exact
+    FROM new_docs n
+    WHERE EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = md5(n.text))),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id % {_INCR_MOD} = 0 AND b.doc_id % {_INCR_MOD} <> 0),
+inter AS (
+    SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2),
+near AS (
+    SELECT id_a AS doc_id, CAST(count(*) AS BIGINT) AS n_near
+    FROM inter
+    JOIN sizes za ON inter.id_a = za.doc_id
+    JOIN sizes zb ON inter.id_b = zb.doc_id
+    WHERE round(n_inter / (za.n_sh + zb.n_sh - n_inter), 6)
+          >= {JACCARD_THRESHOLD}
+    GROUP BY 1)
+SELECT n.doc_id,
+       CAST(coalesce(e.is_exact, 0) AS BIGINT) AS is_exact_dup,
+       CAST(coalesce(r.n_near, 0) AS BIGINT) AS n_near_corpus
+FROM new_docs n
+LEFT JOIN exact e USING (doc_id)
+LEFT JOIN near r USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_gap_ffill": QuerySpec(_events_gap_ffill, EVENTS_GAP_FFILL_SQL),
     "events_ewma_daily": QuerySpec(_events_ewma_daily, EVENTS_EWMA_SQL),
@@ -460,5 +560,8 @@ QUERIES: dict[str, QuerySpec] = {
     "sketch_countmin_heavyhitters": QuerySpec(_sketch_countmin, SKETCH_CMS_SQL),
     "events_rolling_median": QuerySpec(
         _events_rolling_median, EVENTS_ROLLING_MEDIAN_SQL
+    ),
+    "dedup_incremental_batch": QuerySpec(
+        _dedup_incremental_batch, _dedup_incremental_sql()
     ),
 }
