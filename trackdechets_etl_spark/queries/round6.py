@@ -38,23 +38,27 @@ def _events_gap_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     → ``sequence`` → explode; spine size is |range| × |types|,
     independent of event count), left-join the hourly aggregate, then
     forward-fill with ``last(ignorenulls=True)`` over the per-type
-    hour ordering. One shuffle for the aggregate, one window pass —
-    the fill never revisits the raw events. Hours before a type's
-    first event stay null (nothing to carry)."""
+    hour ordering. The raw events are scanned ONCE (the hourly
+    aggregate); the spine bounds and the type set both derive from
+    that already-tiny aggregate (``date_trunc`` is monotone, so
+    ``min/max(bucket_ts)`` equal the truncated raw extremes) — at
+    100 TB the difference between one fact scan and three is the
+    query. Hours before a type's first event stay null (nothing to
+    carry)."""
     e = read_table(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    agg = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("__n"), F.avg("value").alias("__av"))
+    agg = agg.localCheckpoint(eager=False)  # 3 consumers, one shuffle
+    bounds = agg.agg(
+        F.min("bucket_ts").alias("h0"), F.max("bucket_ts").alias("h1")
     )
     spine = bounds.select(
         F.explode(
             F.sequence("h0", "h1", F.expr("interval 1 hour"))
         ).alias("bucket_ts")
     )
-    types = e.select("event_type").distinct()
-    agg = e.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
-    ).agg(F.count(F.lit(1)).alias("__n"), F.avg("value").alias("__av"))
+    types = agg.select("event_type").distinct()
     grid = spine.crossJoin(F.broadcast(types)).join(
         agg, ["event_type", "bucket_ts"], "left"
     )
@@ -344,7 +348,13 @@ def _sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters (broadcast: the counter table is ≤ 1024 rows). Hashes are
     md5-based and deterministic, so unlike the HLL/GK twins this sketch
     is fully DuckDB-oracle-checkable, and the CMS guarantee
-    (estimate >= exact, always) is pinned in tests/test_round6.py."""
+    (estimate >= exact, always) is pinned in tests/test_round6.py.
+
+    The raw events are scanned ONCE: counters are built FROM the
+    per-user exact counts (sum of per-key partials per bucket — CMS
+    counters are sums, so building them from any partial aggregation
+    of the keys is identity-preserving), not from a second pass over
+    the events."""
     e = read_table(spark, sf_dir, "events").select("user_id")
     seeds = F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])
 
@@ -355,14 +365,14 @@ def _sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         )
 
-    hashed = e.select(
-        "user_id", F.explode(seeds).alias("d")
-    ).withColumn("b", bucket(F.col("d"), F.col("user_id")))
-    counters = hashed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
     users = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    users = users.localCheckpoint(eager=False)  # feeds counters + probe
+    hashed = users.select(
+        "user_id", "n_exact", F.explode(seeds).alias("d")
+    ).withColumn("b", bucket(F.col("d"), F.col("user_id")))
+    counters = hashed.groupBy("d", "b").agg(F.sum("n_exact").alias("cnt"))
     est = (
-        users.select("user_id", F.explode(seeds).alias("d"))
-        .withColumn("b", bucket(F.col("d"), F.col("user_id")))
+        hashed.select("user_id", "d", "b")
         .join(F.broadcast(counters), ["d", "b"])
         .groupBy("user_id")
         .agg(F.min("cnt").alias("n_est"))
@@ -480,7 +490,10 @@ def _dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__exact", F.lit(1))
     )
 
-    sh_all = shingles(d, "text", "doc_id", 3)
+    # shingle frame feeds candidates (both filtered sides) + the
+    # verification joins — same lazy-checkpoint discipline as
+    # ngram_jaccard_pairs (docs/SCALE.md)
+    sh_all = shingles(d, "text", "doc_id", 3).localCheckpoint(eager=False)
     sh_new = sh_all.filter(F.col("doc_id") % _INCR_MOD == 0)
     sh_corpus = sh_all.filter(F.col("doc_id") % _INCR_MOD != 0)
     candidates = (
