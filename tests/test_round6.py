@@ -211,3 +211,46 @@ def test_incremental_dedup_covers_batch_only(spark):
     for r in rows:
         if r.is_exact_dup:
             assert r.n_near_corpus >= 1, r
+
+
+# ---------------------------------------------------------------- TWAP
+
+
+def test_twap_between_min_and_max_value(spark):
+    """A time-weighted mean is a convex combination of observed values."""
+    twap = {
+        r.event_type: r.twap
+        for r in REGISTRY["events_twap"].fn(spark, SF_DIR).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        assert min(vals) - 1e-6 <= twap[t] <= max(vals) + 1e-6
+
+
+# ------------------------------------------------------- winsorization
+
+
+def test_winsorize_shrinks_std_keeps_mean_close(spark):
+    rows = REGISTRY["events_winsorized_stats"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.std_winsorized <= r.std_raw + 1e-9, r
+        # clipping 5% tails moves the mean, but not past one raw std
+        assert abs(r.mean_winsorized - r.mean_raw) <= r.std_raw, r
+
+
+# ------------------------------------------------------------ Benford
+
+
+def test_benford_output_is_distribution(spark):
+    rows = REGISTRY["dq_benford_digits"].fn(spark, SF_DIR).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-3

@@ -61,6 +61,9 @@ _VERIFY_FIRST = [
     "sketch_countmin_heavyhitters",
     "events_rolling_median",
     "dedup_incremental_batch",
+    "events_twap",
+    "events_winsorized_stats",
+    "dq_benford_digits",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]

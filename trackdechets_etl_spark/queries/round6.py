@@ -562,6 +562,145 @@ LEFT JOIN near r USING (doc_id)
 """
 
 
+# ------------------------------------------------------------- TWAP
+
+
+def _events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each observation is
+    weighted by how long it was "current" (until the type's next
+    event); the last observation of a type carries no weight. The
+    hold durations come from ``lead`` over integer MICROSECONDS
+    (``unix_micros`` ↔ ``epoch_us`` — both engines difference the same
+    integers; float epoch seconds would straddle, the
+    events_windowed_dedup lesson), so the only float work is the final
+    weighted mean, rounded."""
+    e = read_table(spark, sf_dir, "events")
+    # ts may arrive as TIMESTAMP_NTZ; route through TIMESTAMP for
+    # unix_micros (UTC session tz — same integers as DuckDB epoch_us)
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    wo = Window.partitionBy("event_type").orderBy(t, "event_id")
+    held = e.select(
+        "event_type",
+        "value",
+        (F.lead(t, 1).over(wo) - t).alias("__hold_us"),
+    ).filter(F.col("__hold_us").isNotNull())
+    return held.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("__hold_us")) / F.sum("__hold_us"), 6
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__hold_us").cast("long").alias("span_us"),
+    )
+
+
+EVENTS_TWAP_SQL = """
+WITH held AS (
+    SELECT event_type, value,
+           lead(epoch_us(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS hold_us
+    FROM events)
+SELECT event_type,
+       round(sum(value * hold_us) / sum(hold_us), 6) AS twap,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(hold_us) AS BIGINT) AS span_us
+FROM held WHERE hold_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------- winsorization
+
+
+def _events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-stats cleaning block: per event type, clip values at the
+    exact p05/p95 (linear-interpolation percentile in both engines)
+    and report raw vs winsorized mean/stddev — the standard
+    outlier-taming step before a training-data quality gate. The
+    percentiles join back as a broadcast (one row per type), so the
+    second pass is clip + aggregate, no sort."""
+    e = read_table(spark, sf_dir, "events").select("event_type", "value")
+    pcts = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("__p05"),
+        F.expr("percentile(value, 0.95)").alias("__p95"),
+    )
+    clipped = e.join(F.broadcast(pcts), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("__p05")), F.col("__p95")).alias(
+            "__w"
+        ),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.stddev_samp("value"), 6).alias("std_raw"),
+        F.round(F.avg("__w"), 6).alias("mean_winsorized"),
+        F.round(F.stddev_samp("__w"), 6).alias("std_winsorized"),
+    )
+
+
+EVENTS_WINSORIZED_SQL = """
+WITH pcts AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS p05,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY 1),
+clipped AS (
+    SELECT e.event_type, e.value,
+           least(greatest(e.value, p.p05), p.p95) AS w
+    FROM events e JOIN pcts p USING (event_type))
+SELECT event_type,
+       round(avg(value), 6) AS mean_raw,
+       round(stddev_samp(value), 6) AS std_raw,
+       round(avg(w), 6) AS mean_winsorized,
+       round(stddev_samp(w), 6) AS std_winsorized
+FROM clipped GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------- Benford audit
+
+
+def _dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit on order totals — the
+    forensic DQ check for fabricated numeric columns: observed digit
+    share vs log10(1 + 1/d), one scan + a 9-row aggregate. Exposing it
+    as a query (not a pass/fail gate) keeps thresholds a caller
+    policy."""
+    o = read_table(spark, sf_dir, "orders")
+    # first digit of floor(|x|): integer rendering is canonical in both
+    # engines (double→string can go scientific above 1e7 and differ)
+    d1 = F.substring(
+        F.floor(F.abs(F.col("o_totalprice"))).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    digits = o.select(d1.alias("digit")).filter(F.col("digit").between(1, 9))
+    agg = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return agg.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("observed_share"),
+        F.round(
+            F.log10((F.col("digit") + 1) / F.col("digit")), 6
+        ).alias("benford_share"),
+    )
+
+
+DQ_BENFORD_SQL = """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders),
+agg AS (
+    SELECT digit, count(*) AS n FROM digits
+    WHERE digit BETWEEN 1 AND 9 GROUP BY 1)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / sum(n) OVER (), 6) AS observed_share,
+       round(log10((digit + 1.0) / digit), 6) AS benford_share
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_gap_ffill": QuerySpec(_events_gap_ffill, EVENTS_GAP_FFILL_SQL),
     "events_ewma_daily": QuerySpec(_events_ewma_daily, EVENTS_EWMA_SQL),
@@ -577,4 +716,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_incremental_batch": QuerySpec(
         _dedup_incremental_batch, _dedup_incremental_sql()
     ),
+    "events_twap": QuerySpec(_events_twap, EVENTS_TWAP_SQL),
+    "events_winsorized_stats": QuerySpec(
+        _events_winsorized_stats, EVENTS_WINSORIZED_SQL
+    ),
+    "dq_benford_digits": QuerySpec(_dq_benford_digits, DQ_BENFORD_SQL),
 }
