@@ -215,3 +215,38 @@ def test_prefix_filter_jaccard_equals_naive(spark):
         for r in ngram_jaccard_pairs(d, "text", "doc_id", 0.8, prefix_filter=False).collect()
     }
     assert fast == naive and len(naive) > 0
+
+
+def test_containment_fast_equals_naive(spark):
+    """The asymmetric prefix filter (contained side pruned, host side
+    fully indexed, |B| >= t|A| size bound) must be lossless."""
+    from tests.conftest import SF_DIR
+    from trackdechets_etl_spark.io.readers import read_table
+    from trackdechets_etl_spark.llm.dedup import containment_pairs
+
+    d = read_table(spark, SF_DIR, "documents")
+    fast = sorted(
+        map(tuple, containment_pairs(d, "text", "doc_id", 0.9).collect())
+    )
+    naive = sorted(
+        map(
+            tuple,
+            containment_pairs(
+                d, "text", "doc_id", 0.9, prefix_filter=False
+            ).collect(),
+        )
+    )
+    assert fast == naive
+    assert fast, "degenerate corpus: no containment pairs at t=0.9"
+
+
+def test_containment_is_asymmetric_and_bounded(spark):
+    from tests.conftest import SF_DIR
+    from trackdechets_etl_spark.io.readers import read_table
+    from trackdechets_etl_spark.llm.dedup import containment_pairs
+
+    d = read_table(spark, SF_DIR, "documents")
+    rows = containment_pairs(d, "text", "doc_id", 0.9).collect()
+    for r in rows:
+        assert 0.9 <= r.containment <= 1.0
+        assert r.id_a != r.id_b

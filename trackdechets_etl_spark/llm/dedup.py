@@ -324,3 +324,89 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "simhash")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n: int = 3,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """Ordered near-dup pairs by shingle CONTAINMENT
+    ``C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold`` — the asymmetric
+    measure that catches a document EMBEDDED in a larger one (quotes,
+    excerpts, boilerplate-wrapped copies), which symmetric Jaccard
+    misses whenever the host document is much larger. Output rows are
+    ordered: (id_a contained-in id_b), a ≠ b, both directions possible.
+
+    The AllPairs prefix theorem adapts asymmetrically: under a global
+    shingle order, C(A,B) ≥ t needs ``ceil(t·|A|)`` shared shingles, so
+    A must share one of its first ``|A| - ceil(t·|A|) + 1`` shingles
+    with B — only the CONTAINED side is prefix-pruned; the host side
+    stays fully indexed. A size bound (``|B| ≥ t·|A|``) prunes further.
+    EXACT output: the DuckDB oracle is the naive inverted-index join,
+    and fast == naive is pinned in tests/test_llm.py."""
+    sh = shingles(df, text_col, id_col, n)
+    keyed = (
+        sh.select(F.col(id_col), F.xxhash64("shingle").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = keyed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a_full = keyed.select(F.col(id_col).alias("id_a"), "k")
+    b_full = keyed.select(F.col(id_col).alias("id_b"), "k")
+    if prefix_filter:
+        w = Window.partitionBy(id_col).orderBy("k")
+        pref = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .join(sizes, id_col)
+            .filter(
+                F.col("__rn")
+                <= F.col("n_sh")
+                - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+                + 1
+            )
+        )
+        a_cand = pref.select(
+            F.col(id_col).alias("id_a"), "k", F.col("n_sh").alias("n_a")
+        )
+        b_cand = b_full.join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        candidates = (
+            a_cand.join(b_cand, "k")
+            .filter(
+                (F.col("id_a") != F.col("id_b"))
+                # size necessary condition: C ≤ |B|/|A|
+                & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        candidates = (
+            a_full.join(b_full, "k")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    inter = (
+        candidates.join(a_full, "id_a")
+        .join(
+            b_full.select(F.col("id_b").alias("__idb"), F.col("k").alias("__kb")),
+            (F.col("id_b") == F.col("__idb")) & (F.col("k") == F.col("__kb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), "n_sh"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / F.col("n_sh"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "events_twap",
     "events_winsorized_stats",
     "dq_benford_digits",
+    "dedup_containment_pairs",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]

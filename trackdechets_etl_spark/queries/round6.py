@@ -562,6 +562,44 @@ LEFT JOIN near r USING (doc_id)
 """
 
 
+# ------------------------------------------------------- containment
+
+_CONTAINMENT_T = 0.9
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (id_a contained in id_b,
+    C = |sh(A)∩sh(B)|/|sh(A)| ≥ 0.9) via
+    :func:`llm.dedup.containment_pairs` — the measure that catches a
+    document EMBEDDED in a larger host (quotes, excerpts,
+    boilerplate-wrapped copies) where symmetric Jaccard dilutes below
+    any useful threshold. Prefix filter prunes only the contained
+    side; exactness vs the naive join is pinned in tests/test_llm.py
+    and the oracle IS the naive join."""
+    from trackdechets_etl_spark.llm.dedup import containment_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return containment_pairs(d, "text", "doc_id", threshold=_CONTAINMENT_T)
+
+
+def _dedup_containment_sql() -> str:
+    from trackdechets_etl_spark.queries.llm import _SHINGLES
+
+    return f"""
+WITH {_SHINGLES},
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_inter
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_inter / za.n_sh, 6) AS containment
+FROM inter JOIN sizes za ON inter.id_a = za.doc_id
+WHERE round(n_inter / za.n_sh, 6) >= {_CONTAINMENT_T}
+"""
+
+
 # ------------------------------------------------------------- TWAP
 
 
@@ -715,6 +753,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_incremental_batch": QuerySpec(
         _dedup_incremental_batch, _dedup_incremental_sql()
+    ),
+    "dedup_containment_pairs": QuerySpec(
+        _dedup_containment, _dedup_containment_sql()
     ),
     "events_twap": QuerySpec(_events_twap, EVENTS_TWAP_SQL),
     "events_winsorized_stats": QuerySpec(
