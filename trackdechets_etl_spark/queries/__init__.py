@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "events_winsorized_stats",
     "dq_benford_digits",
     "dedup_containment_pairs",
+    "graph_triangles",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]
