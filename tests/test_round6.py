@@ -296,3 +296,45 @@ def test_triangles_match_bruteforce(spark):
     ]
     assert got == want
     assert got, "degenerate graph: no triangles at support 2"
+
+
+# ---------------------------------------------------- equi-depth bins
+
+
+def test_equidepth_buckets_balanced_and_ordered(spark):
+    rows = sorted(
+        REGISTRY["agg_histogram_equidepth"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1, "ntile must balance counts"
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo + 1e-9, "bucket ranges must be ordered"
+
+
+# -------------------------------------------------------------- CUSUM
+
+
+def test_cusum_matches_bruteforce(spark):
+    rows = REGISTRY["events_cusum_changepoint"].fn(spark, SF_DIR).collect()
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("x"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append((r.day, r.x))
+    got = {r.event_type: (r.changepoint_day, r.max_abs_cusum) for r in rows}
+    for t, series in by_type.items():
+        series.sort()
+        mean = sum(x for _, x in series) / len(series)
+        best_day, best_abs, acc = None, -1.0, 0.0
+        for day, x in series:
+            acc += x - mean
+            if round(abs(acc), 6) > round(best_abs, 6):
+                best_day, best_abs = day, abs(acc)
+        assert got[t][0] == best_day, t
+        assert abs(got[t][1] - best_abs) < 1e-3, t

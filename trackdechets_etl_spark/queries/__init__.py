@@ -66,6 +66,8 @@ _VERIFY_FIRST = [
     "dq_benford_digits",
     "dedup_containment_pairs",
     "graph_triangles",
+    "agg_histogram_equidepth",
+    "events_cusum_changepoint",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]

@@ -562,6 +562,108 @@ LEFT JOIN near r USING (doc_id)
 """
 
 
+# ----------------------------------------------- equi-depth histogram
+
+_EQD_BUCKETS = 10
+
+
+def _agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals: ``ntile`` assigns equal
+    row counts per bucket (the twin of ``agg_histogram``'s equal-WIDTH
+    bins — equi-depth is what optimizers and drift monitors actually
+    keep, since it bounds per-bucket error under skew). One global
+    sort-window; ties broken by o_orderkey so the bucket boundaries
+    are engine-deterministic. Scale note (same trade as RFM's ntile,
+    docs/SCALE.md): exact equal-count ranks need the global sort; when
+    the input outgrows one partition, swap to approx-percentile
+    BOUNDARY assignment — equi-depth monitoring doesn't need exact
+    ranks, and boundaries are a one-pass mergeable sketch."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.withColumn("bucket", F.ntile(_EQD_BUCKETS).over(w))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean"),
+    )
+
+
+AGG_EQUIDEPTH_SQL = f"""
+WITH b AS (
+    SELECT o_totalprice,
+           ntile({_EQD_BUCKETS}) OVER (
+               ORDER BY o_totalprice, o_orderkey) AS bucket
+    FROM orders)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(avg(o_totalprice), 4) AS mean
+FROM b GROUP BY bucket
+"""
+
+
+# --------------------------------------------------- CUSUM changepoint
+
+
+def _events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection per event type via CUSUM: cumulative sum
+    of deviations from the series mean peaks (in absolute value) at
+    the most likely level-shift point. Two window passes over one
+    (type, day) aggregate — mean via an unbounded frame, running sum
+    via the ordered frame — then a deterministic argmax (rank key
+    rounded, day-asc tie-break). No iteration, no UDF; the per-type
+    series is the only window state."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("x")
+    )
+    wall = Window.partitionBy("event_type")
+    word = wall.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = daily.withColumn("__mean", F.avg("x").over(wall)).withColumn(
+        "__cusum", F.sum(F.col("x") - F.col("__mean")).over(word)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.round(F.abs("__cusum"), 6).desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs("__cusum"), 4).alias("max_abs_cusum"),
+        )
+    )
+
+
+EVENTS_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS x
+    FROM events GROUP BY 1, 2),
+centered AS (
+    SELECT event_type, day, x,
+           avg(x) OVER (PARTITION BY event_type) AS m
+    FROM daily),
+scored AS (
+    SELECT event_type, day,
+           sum(x - m) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+    FROM centered),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY round(abs(cusum), 6) DESC, day ASC) AS rn
+    FROM scored)
+SELECT event_type, day AS changepoint_day,
+       round(abs(cusum), 4) AS max_abs_cusum
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------- triangle count
 
 _TRI_SUPPORT = 2
@@ -831,6 +933,12 @@ QUERIES: dict[str, QuerySpec] = {
         _dedup_containment, _dedup_containment_sql()
     ),
     "graph_triangles": QuerySpec(_graph_triangles, GRAPH_TRIANGLES_SQL),
+    "agg_histogram_equidepth": QuerySpec(
+        _agg_histogram_equidepth, AGG_EQUIDEPTH_SQL
+    ),
+    "events_cusum_changepoint": QuerySpec(
+        _events_cusum_changepoint, EVENTS_CUSUM_SQL
+    ),
     "events_twap": QuerySpec(_events_twap, EVENTS_TWAP_SQL),
     "events_winsorized_stats": QuerySpec(
         _events_winsorized_stats, EVENTS_WINSORIZED_SQL
