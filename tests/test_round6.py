@@ -338,3 +338,26 @@ def test_cusum_matches_bruteforce(spark):
                 best_day, best_abs = day, abs(acc)
         assert got[t][0] == best_day, t
         assert abs(got[t][1] - best_abs) < 1e-3, t
+
+
+# ------------------------------------------------- kNN classification
+
+
+def test_knn_classify_shape_and_consistency(spark):
+    """One row per query, hit flag consistent with the labels, and the
+    prediction is always a label that exists. (The synthetic labels
+    are independent of embedding geometry, so ACCURACY here is chance
+    — the value of the query is the exact-oracle-checked voting
+    plumbing, not this corpus's separability.)"""
+    rows = REGISTRY["sim_knn_classify"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 50
+    labels = {
+        r.label
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r.is_correct == int(r.pred_label == r.true_label)
+        assert r.pred_label in labels

@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "graph_triangles",
     "agg_histogram_equidepth",
     "events_cusum_changepoint",
+    "sim_knn_classify",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]
