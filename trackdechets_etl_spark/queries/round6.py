@@ -1,24 +1,30 @@
-"""Round-5 late additions: sequential statistics and the spatial join.
+"""Round-5 additions: operator families a reference user (or a 100 TB
+training-data pipeline) reaches for that were not yet first-class.
 
-Five operator families a reference user (or a 100 TB training-data
-pipeline) reaches for that were not yet first-class:
+- Sequential / time-series: ``events_gap_ffill`` (spine resample +
+  forward-fill), ``events_ewma_daily`` (closed-form EWMA),
+  ``events_rolling_median``, ``events_twap`` (integer-microsecond
+  hold weighting), ``events_cusum_changepoint``.
+- Robust / distribution stats: ``weighted_median_parts``,
+  ``events_winsorized_stats`` (p05/p95 clip),
+  ``agg_histogram_equidepth`` (ntile twin of the equal-width bins),
+  ``dq_benford_digits`` (forensic first-digit audit).
+- Sketches: ``sketch_countmin_heavyhitters`` — deterministic
+  md5-bucketed CMS, the fully-oracle-checkable member of the
+  HLL/GK/CMS trio.
+- Spatial: ``join_grid_spatial`` through
+  ``operators/spatial.py::grid_join_within_radius`` (grid + 3×3
+  neighbor replication; oracle is the naive inequality join).
+- Dedup: ``dedup_incremental_batch`` (batch-vs-corpus probe) and the
+  BPE merge statistic ``text_bpe_pairs`` (see also
+  ``llm/dedup.py::containment_pairs`` → ``dedup_containment_pairs``).
+- Graph: ``graph_triangles`` (one-direction edge storage, three
+  co-partitioned join legs).
+- Similarity end-task: ``sim_knn_classify`` (majority vote over the
+  top-k contract).
 
-- ``events_gap_ffill``   — calendar-spine resample + FORWARD-fill
-  (``last value IGNORE NULLS``), the stateful twin of the zero-filling
-  ``events_gap_fill``.
-- ``events_ewma_daily``  — exponentially weighted moving average as a
-  closed-form window expression (no recursion, no UDF).
-- ``weighted_median_parts`` — weighted median via cumulative-weight
-  windows, integer-exact.
-- ``join_grid_spatial``  — radius join through the grid-bucketed
-  operator in ``operators/spatial.py`` (oracle runs the naive
-  inequality join; hash equality proves the bucketing is lossless).
-- ``text_bpe_pairs``     — adjacent character-pair frequencies inside
-  words: the merge-candidate statistic a BPE tokenizer trainer
-  computes each round (word bigrams are ``text_top_bigrams``; this is
-  the intra-word, character-level counterpart).
-
-All five are pure DataFrame algebra with exact DuckDB twins.
+All pure DataFrame algebra with exact DuckDB twins; invariant tests in
+tests/test_round6.py.
 """
 
 from __future__ import annotations
