@@ -201,3 +201,46 @@ def test_range_join_matches_bruteforce_model(spark, intervals, points, bucket_s)
         if k2 == k and s <= t < s + w
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 300)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 300)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(5, 60),
+)
+@SETTINGS
+def test_grid_join_matches_bruteforce_model(spark, left_pts, right_pts, radius):
+    """grid_join_within_radius must equal the quadratic model for
+    arbitrary point sets, radii, and a cell chosen >= radius."""
+    from trackdechets_etl_spark.operators.spatial import grid_join_within_radius
+
+    a = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(left_pts)],
+        "id_a long, x long, y long",
+    )
+    b = spark.createDataFrame(
+        [(j, x, y) for j, (x, y) in enumerate(right_pts)],
+        "id_b long, sx long, sy long",
+    )
+    cell = radius + (radius % 7)  # >= radius, varies with the draw
+    got = {
+        (r.id_a, r.id_b)
+        for r in grid_join_within_radius(
+            a, b, ("x", "y"), ("sx", "sy"), radius=radius, cell=cell
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (x, y) in enumerate(left_pts)
+        for j, (sx, sy) in enumerate(right_pts)
+        if (x - sx) ** 2 + (y - sy) ** 2 <= radius * radius
+    }
+    assert got == want

@@ -361,3 +361,30 @@ def test_knn_classify_shape_and_consistency(spark):
     for r in rows:
         assert r.is_correct == int(r.pred_label == r.true_label)
         assert r.pred_label in labels
+
+
+# ------------------------------------------------------------ entropy
+
+
+def test_entropy_bounds(spark):
+    import math
+
+    rows = REGISTRY["events_entropy_profile"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        hi = math.log2(r.n_types) if r.n_types > 1 else 0.0
+        assert -1e-6 <= r.entropy_bits <= hi + 1e-6, r
+        if r.n_types == 1:
+            assert abs(r.entropy_bits) < 1e-9
+
+
+# --------------------------------------------------------------- Zipf
+
+
+def test_zipf_fit_shape(spark):
+    row = REGISTRY["text_zipf_fit"].fn(spark, SF_DIR).collect()[0]
+    # the sf0.001 corpus has a tiny synthetic vocabulary — n_points is
+    # min(200, |vocab|)
+    assert 5 < row.n_points <= 200
+    assert row.zipf_slope < 0, "frequency must decay with rank"
+    assert 0.0 <= row.r2 <= 1.0

@@ -69,6 +69,8 @@ _VERIFY_FIRST = [
     "agg_histogram_equidepth",
     "events_cusum_changepoint",
     "sim_knn_classify",
+    "events_entropy_profile",
+    "text_zipf_fit",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]

@@ -568,6 +568,103 @@ LEFT JOIN near r USING (doc_id)
 """
 
 
+# ------------------------------------------------------ entropy profile
+
+
+def _events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity feature (0 = monomaniac, log2(5) ≈ 2.32 = uniform over
+    the five types). Two hash aggregates, no window: per-(user, type)
+    counts, then ``-Σ p·log2 p`` per user via sum over the group. The
+    log terms are computed identically in both engines and summed per
+    group in a canonical order via the rounded column, so results
+    hash-match."""
+    e = read_table(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = Window.partitionBy("user_id")
+    p = (F.col("n") / F.sum("n").over(wtot)).alias("p")
+    scored = ut.select("user_id", F.col("n"), p)
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(
+                -F.sum(F.col("p") * F.log2("p")), 6
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+EVENTS_ENTROPY_SQL = """
+WITH ut AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2),
+scored AS (
+    SELECT user_id, n,
+           n / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS p
+    FROM ut)
+SELECT user_id,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(-sum(p * log2(p)), 6) AS entropy_bits
+FROM scored GROUP BY user_id
+"""
+
+
+# ----------------------------------------------------------- Zipf fit
+
+_ZIPF_TOP = 200
+
+
+def _text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    log10(frequency) on log10(rank) over the top-200 tokens (natural
+    language sits near −1; synthetic or templated corpora drift, so
+    the slope is a cheap corpus-quality fingerprint). Token counts are
+    a distributed hash aggregate; ranking happens on the tiny vocab
+    frame; ``regr_slope``/``regr_intercept``/``regr_r2`` are the same
+    closed forms in both engines."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    top = vocab.withColumn("rank", F.row_number().over(wr)).filter(
+        F.col("rank") <= _ZIPF_TOP
+    )
+    pts = top.select(
+        F.log10("rank").alias("lx"), F.log10("n").alias("ly")
+    )
+    return pts.agg(
+        F.round(F.expr("regr_slope(ly, lx)"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ly, lx)"), 6).alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+TEXT_ZIPF_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+    FROM documents),
+vocab AS (
+    SELECT tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY 1),
+top AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+    FROM vocab QUALIFY rank <= {_ZIPF_TOP}),
+pts AS (SELECT log10(rank) AS lx, log10(n) AS ly FROM top)
+SELECT round(regr_slope(ly, lx), 6) AS zipf_slope,
+       round(regr_intercept(ly, lx), 6) AS zipf_intercept,
+       round(regr_r2(ly, lx), 6) AS r2,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts
+"""
+
+
 # --------------------------------------------------- kNN classification
 
 _KNN_QUERY_IDS = 50
@@ -1030,6 +1127,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_triangles": QuerySpec(_graph_triangles, GRAPH_TRIANGLES_SQL),
     "sim_knn_classify": QuerySpec(_sim_knn_classify, _sim_knn_sql()),
+    "events_entropy_profile": QuerySpec(
+        _events_entropy_profile, EVENTS_ENTROPY_SQL
+    ),
+    "text_zipf_fit": QuerySpec(_text_zipf_fit, TEXT_ZIPF_SQL),
     "agg_histogram_equidepth": QuerySpec(
         _agg_histogram_equidepth, AGG_EQUIDEPTH_SQL
     ),
