@@ -388,3 +388,32 @@ def test_zipf_fit_shape(spark):
     assert 5 < row.n_points <= 200
     assert row.zipf_slope < 0, "frequency must decay with rank"
     assert 0.0 <= row.r2 <= 1.0
+
+
+# ------------------------------------------------------------ A/B lift
+
+
+def test_ab_lift_consistency(spark):
+    rows = REGISTRY["events_ab_lift"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5  # one row per event type
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r.n_a + r.n_b for r in rows) == total
+    for r in rows:
+        # z and lift must share a sign (se > 0)
+        assert (r.welch_z >= 0) == (r.lift >= 0) or r.lift == 0
+
+
+# ---------------------------------------------------------- cohort LTV
+
+
+def test_cohort_ltv_monotone_per_cohort(spark):
+    rows = REGISTRY["orders_cohort_ltv"].fn(spark, SF_DIR).collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_year, []).append(r)
+    assert by_cohort
+    for series in by_cohort.values():
+        series.sort(key=lambda r: r.age_years)
+        assert series[0].age_years == 0, "every cohort starts at age 0"
+        ltv = [r.cum_ltv_per_customer for r in series]
+        assert all(b >= a for a, b in zip(ltv, ltv[1:])), "LTV is cumulative"

@@ -71,6 +71,8 @@ _VERIFY_FIRST = [
     "sim_knn_classify",
     "events_entropy_profile",
     "text_zipf_fit",
+    "events_ab_lift",
+    "orders_cohort_ltv",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]

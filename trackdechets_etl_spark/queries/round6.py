@@ -568,6 +568,134 @@ LEFT JOIN near r USING (doc_id)
 """
 
 
+# ------------------------------------------------------------ A/B lift
+
+
+def _events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout per event type: users split into
+    deterministic cohorts (``user_id % 2`` — in production the
+    md5-bucketed split of ``split_train_val_test``), then mean lift
+    and the Welch z-statistic from per-cohort (n, mean, var) — all
+    mergeable aggregates, one scan, no window. The z formula is the
+    same closed form in both engines; rounded at 4."""
+    e = read_table(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("__cohort")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = g.filter(F.col("__cohort") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = g.filter(F.col("__cohort") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    j = a.join(b, "event_type")
+    se = F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b"))
+    return j.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("m_b") - F.col("m_a"), 4).alias("lift"),
+        F.round((F.col("m_b") - F.col("m_a")) / se, 4).alias("welch_z"),
+    )
+
+
+EVENTS_AB_LIFT_SQL = """
+WITH g AS (
+    SELECT event_type, user_id % 2 AS cohort,
+           count(*) AS n, avg(value) AS m, var_samp(value) AS v
+    FROM events GROUP BY 1, 2)
+SELECT a.event_type,
+       CAST(a.n AS BIGINT) AS n_a,
+       CAST(b.n AS BIGINT) AS n_b,
+       round(b.m - a.m, 4) AS lift,
+       round((b.m - a.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS welch_z
+FROM g a JOIN g b
+  ON a.event_type = b.event_type AND a.cohort = 0 AND b.cohort = 1
+"""
+
+
+# ---------------------------------------------------------- cohort LTV
+
+
+def _orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curve by acquisition cohort: customers
+    cohorted by first-order year, then CUMULATIVE revenue per customer
+    tracked across years-since-acquisition — the classic triangle a
+    growth team reads. First-order year is a min-aggregate (no
+    window over the fact); the cumulative sum runs over the tiny
+    (cohort × age) grid."""
+    o = read_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    j = o.join(first, "o_custkey").select(
+        "cohort_year",
+        (F.year("o_orderdate") - F.col("cohort_year")).alias("age_years"),
+        "o_totalprice",
+    )
+    cell = j.groupBy("cohort_year", "age_years").agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    size = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    w = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.join(size, "cohort_year")
+        .select(
+            "cohort_year",
+            "age_years",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "cohort_customers",
+            F.round(
+                F.sum("rev").over(w) / F.col("cohort_customers"), 2
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+ORDERS_COHORT_LTV_SQL = """
+WITH first AS (
+    SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+    FROM orders GROUP BY 1),
+j AS (
+    SELECT f.cohort_year,
+           year(o.o_orderdate) - f.cohort_year AS age_years,
+           o.o_totalprice
+    FROM orders o JOIN first f USING (o_custkey)),
+cell AS (
+    SELECT cohort_year, age_years, sum(o_totalprice) AS rev,
+           count(*) AS n_orders
+    FROM j GROUP BY 1, 2),
+size AS (
+    SELECT cohort_year, CAST(count(*) AS BIGINT) AS cohort_customers
+    FROM first GROUP BY 1)
+SELECT c.cohort_year, c.age_years,
+       CAST(c.n_orders AS BIGINT) AS n_orders,
+       s.cohort_customers,
+       round(sum(c.rev) OVER (
+           PARTITION BY c.cohort_year ORDER BY c.age_years
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / s.cohort_customers, 2) AS cum_ltv_per_customer
+FROM cell c JOIN size s USING (cohort_year)
+"""
+
+
 # ------------------------------------------------------ entropy profile
 
 
@@ -1127,6 +1255,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_triangles": QuerySpec(_graph_triangles, GRAPH_TRIANGLES_SQL),
     "sim_knn_classify": QuerySpec(_sim_knn_classify, _sim_knn_sql()),
+    "events_ab_lift": QuerySpec(_events_ab_lift, EVENTS_AB_LIFT_SQL),
+    "orders_cohort_ltv": QuerySpec(_orders_cohort_ltv, ORDERS_COHORT_LTV_SQL),
     "events_entropy_profile": QuerySpec(
         _events_entropy_profile, EVENTS_ENTROPY_SQL
     ),
