@@ -221,3 +221,34 @@ def test_stats_fast_path_equals_fanout_path(spark):
         enrich_installations(spark, SF_DIR), "code_s3ic", "siret_final"
     ).collect()
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+
+def test_repeated_ngrams_topk_and_partial_agg(spark):
+    """Corpus n-gram mining must heap the top-k per partition
+    (TakeOrderedAndProject) and partially aggregate grams map-side
+    before the shuffle — the two properties that keep it linear at
+    100 TB."""
+    plan = _plan(REGISTRY["text_repeated_ngrams"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k must be a per-partition heap, not global sort + limit"
+    )
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Exchange rangepartitioning" not in plan, (
+        "no global sort should appear for a limited top-k"
+    )
+
+
+def test_embedding_standardize_broadcasts_stats(spark):
+    """The 64-row per-dimension moments side must broadcast; the
+    exploded feature matrix must never be on the build side."""
+    plan = _plan(REGISTRY["embedding_standardize"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "stats join should broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_maxsim_broadcasts_query_side(spark):
+    """Late-interaction scoring scans the corpus subvector frame once
+    with the query side broadcast — no shuffle of the corpus for the
+    scoring join."""
+    plan = _plan(REGISTRY["sim_maxsim"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -73,6 +73,16 @@ _VERIFY_FIRST = [
     "text_zipf_fit",
     "events_ab_lift",
     "orders_cohort_ltv",
+    "events_pattern_match",
+    "events_rolling_corr",
+    "events_gap_interpolate",
+    "text_repeated_ngrams",
+    "text_passage_dedup",
+    "text_posting_lists",
+    "embedding_standardize",
+    "orders_gini",
+    "sim_maxsim",
+    "events_chisq",
     # semantics changed in round 5 (stats fast path) — re-verify
     "pipeline_siretisation_stats",
 ]
@@ -88,6 +98,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round4,
         round5,
         round6,
+        round7,
         scale,
         tpch2,
         training,
@@ -106,6 +117,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round5,
         scale,
         round6,
+        round7,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
