@@ -29,9 +29,13 @@ class QuerySpec:
 # Rotate queries that have not yet produced a green driver check to the
 # front, so successive rounds accumulate verified coverage of the whole
 # registry. Cumulative through r4: 145/154 green (see VERDICT r4); the
-# round-5 front below holds the 9 never-verified entries, everything
-# whose semantics changed this round, and the round-5 additions — the
-# remaining window slots re-verify module-order entries (green in r1).
+# round-5 front below holds exactly 50 entries: the 9 never-verified
+# entries plus the 41 round-5 additions. Queries whose SEMANTICS
+# changed this round (ADVICE fixes: events_sessionize_ids,
+# tpch_q11_important_stock, orders_market_basket; restructures:
+# pipeline_training_data, pipeline_siretisation_stats) did not fit the
+# 50-slot window — they are locally verified by scripts/selfcheck at
+# the driver's own sf0.01 scale and MUST lead the round-6 rotation.
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -43,11 +47,6 @@ _VERIFY_FIRST = [
     "orders_ship_latency",
     "orders_yoy_growth",
     "text_lm_score",
-    # changed this round (ADVICE fixes / restructures) — re-verify
-    "events_sessionize_ids",
-    "tpch_q11_important_stock",
-    "orders_market_basket",
-    "pipeline_training_data",
     # new in round 5
     "join_dpp_partition_pruned",
     "orders_ship_latency_approx",  # rows-only (GK sketch, no oracle)
@@ -83,8 +82,13 @@ _VERIFY_FIRST = [
     "orders_gini",
     "sim_maxsim",
     "events_chisq",
-    # semantics changed in round 5 (stats fast path) — re-verify
-    "pipeline_siretisation_stats",
+    "parts_skyline_2d",
+    "orders_prorate_cents",
+    "events_trend_slope",
+    "layout_compaction_bins",
+    "events_late_arrivals",
+    "training_negative_pairs",
+    "diff_merkle_buckets",
 ]
 
 
@@ -99,6 +103,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round5,
         round6,
         round7,
+        round8,
         scale,
         tpch2,
         training,
@@ -118,6 +123,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale,
         round6,
         round7,
+        round8,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -672,10 +672,12 @@ def _sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIM_MAXSIM_SQL = f"""
 WITH sub AS (
+    -- DOUBLE[] cast matters: list_dot_product on FLOAT[] accumulates
+    -- in float32 and diverges from Spark's double math at ~1e-6.
     SELECT vec_id, CAST(s AS INTEGER) AS s,
-           embedding[CAST(s * {_MAXSIM_SUBD} + 1 AS BIGINT)
+           CAST(embedding[CAST(s * {_MAXSIM_SUBD} + 1 AS BIGINT)
                      :CAST(s * {_MAXSIM_SUBD} + {_MAXSIM_SUBD} AS BIGINT)]
-               AS sub
+               AS DOUBLE[]) AS sub
     FROM embeddings, UNNEST(range(0, {_MAXSIM_NSUB})) AS t(s)),
 q AS (SELECT vec_id AS qid, s AS qs, sub AS qsub
       FROM sub WHERE vec_id < {_MAXSIM_NQ}),
