@@ -35,7 +35,11 @@ class QuerySpec:
 # tpch_q11_important_stock, orders_market_basket; restructures:
 # pipeline_training_data, pipeline_siretisation_stats) did not fit the
 # 50-slot window — they are locally verified by scripts/selfcheck at
-# the driver's own sf0.01 scale and MUST lead the round-6 rotation.
+# the driver's own sf0.01 scale and MUST lead the round-6 rotation,
+# together with the post-window round-5 additions (round9.py:
+# events_attribution, graph_khop_reach, linkage_blocking_score,
+# dedup_semantic_prune, events_seasonal_dow, orders_backlog_aging —
+# all selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -104,6 +108,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round6,
         round7,
         round8,
+        round9,
         scale,
         tpch2,
         training,
@@ -124,6 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round6,
         round7,
         round8,
+        round9,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
