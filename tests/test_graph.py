@@ -10,26 +10,34 @@ import pytest
 from trackdechets_etl_spark.operators.graph import connected_components, dedup_clusters
 
 
-def test_cc_chain_needs_multiple_rounds(spark):
+@pytest.mark.parametrize("small_gate", [100_000, 0])
+def test_cc_chain_needs_multiple_rounds(spark, small_gate):
     # 5-node path 10-11-12-13-14: min label must travel 4 hops.
+    # Pinned on BOTH paths: driver union-find (gate high) and the
+    # distributed loop (gate 0) must produce the identical labeling.
     pairs = spark.createDataFrame(
         [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21)], "id_a long, id_b long"
     )
     labels = {
         r["node"]: r["label"]
-        for r in connected_components(pairs, "id_a", "id_b").collect()
+        for r in connected_components(
+            pairs, "id_a", "id_b", small_graph_edges=small_gate
+        ).collect()
     }
     assert labels == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20}
 
 
 def test_cc_raises_instead_of_returning_partial_labels(spark):
     # ADVICE r1: diameter > max_iterations must be a loud error, never a
-    # silently wrong half-propagated labeling.
+    # silently wrong half-propagated labeling. (Distributed loop only —
+    # union-find has no iteration cap to exceed.)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(10, 16)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, "id_a", "id_b", max_iterations=2)
+        connected_components(
+            pairs, "id_a", "id_b", max_iterations=2, small_graph_edges=0
+        )
 
 
 def test_dedup_clusters_singletons_and_canonicals(spark):

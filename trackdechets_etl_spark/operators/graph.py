@@ -23,16 +23,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Below this many (symmetrized, distinct) edges, label via driver-side
+# union-find instead of the distributed loop — see the fast path in
+# connected_components. ~2 MB collected at the cap.
+_SMALL_GRAPH_EDGES = 100_000
+
 
 def connected_components(
     pairs: DataFrame,
     src: str,
     dst: str,
     max_iterations: int = 25,
+    small_graph_edges: int = _SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Label each node that appears in ``pairs`` with the minimum node
     id reachable from it (its component id). Returns (node, label).
     ``pairs`` may list each undirected edge once; it is symmetrized.
+    Graphs at or under ``small_graph_edges`` symmetrized edges are
+    labeled by driver-side union-find (identical output, one job);
+    pass 0 to force the distributed loop.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -51,6 +60,41 @@ def connected_components(
     # width, measured 5.26s → 4.72s on the sf0.1 training pipeline.
     # Label VALUES are unaffected — this only re-buckets rows.
     n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        # Small-graph fast path: the distributed loop costs 2 driver
+        # jobs per round regardless of data size, and near-dup pair
+        # graphs are metadata-sized (hundreds of edges from a 60k-doc
+        # corpus). Union-find over the collected edge list produces the
+        # IDENTICAL (node, min-reachable-id) labeling in one job's
+        # worth of time; the size gate keeps the 100 TB case (billions
+        # of pair edges) on the distributed loop. Measured on the sf0.1
+        # training pipeline: 5.16s → 3.5s (see docs/SCALE.md).
+        rows = edges.collect()  # ≤ _SMALL_GRAPH_EDGES rows, bounded
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            u, v = r[0], r[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min id so the root IS the component label
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        labels = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            labels, schema="node long, label long"
+        )
     n_parts = max(1, min(32, n_edges // 50_000 + 1))
     edges = edges.coalesce(n_parts)
     # Lazy checkpoints below: the convergence-sum action materializes
