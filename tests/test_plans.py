@@ -252,3 +252,49 @@ def test_maxsim_broadcasts_query_side(spark):
     scoring join."""
     plan = _plan(REGISTRY["sim_maxsim"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Runtime semi-join reduction: when a selective dim side of a
+    shuffle join is too big to broadcast, Catalyst injects a
+    bloom_filter_agg on the dim and a might_contain probe on the fact
+    scan side — the 100 TB companion to DPP for non-partition keys.
+    Conf-gated demo (thresholds shrunk to in-test sizes), restored
+    after; the join itself is ordinary lineitem⨝σ(part)."""
+    from pyspark.sql import functions as F
+
+    from trackdechets_etl_spark.io.readers import read_table
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "0")
+        spark.conf.set(keys[1], "100MB")
+        spark.conf.set(keys[2], "-1")
+        li = read_table(spark, SF_DIR, "lineitem")
+        p = read_table(spark, SF_DIR, "part").filter(F.col("p_size") <= 2)
+        j = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_size")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom build missing on dim side"
+        assert "might_contain" in plan.lower(), "fact-side probe missing"
+        # and the filter is semantically free: same result as without it
+        got = {r.p_size: r.n_items for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    expect = {
+        r.p_size: r.n_items
+        for r in li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_size")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .collect()
+    }
+    assert got == expect

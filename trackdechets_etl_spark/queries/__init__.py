@@ -38,8 +38,9 @@ class QuerySpec:
 # the driver's own sf0.01 scale and MUST lead the round-6 rotation,
 # together with the post-window round-5 additions (round9.py:
 # events_attribution, graph_khop_reach, linkage_blocking_score,
-# dedup_semantic_prune, events_seasonal_dow, orders_backlog_aging —
-# all selfchecked green at sf0.01).
+# dedup_semantic_prune, events_seasonal_dow, orders_backlog_aging;
+# round10.py: events_uplift_cuped, training_curriculum_order,
+# text_bigram_lm_score — all selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -109,6 +110,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round7,
         round8,
         round9,
+        round10,
         scale,
         tpch2,
         training,
@@ -130,6 +132,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round7,
         round8,
         round9,
+        round10,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
