@@ -244,3 +244,31 @@ def test_grid_join_matches_bruteforce_model(spark, left_pts, right_pts, radius):
         if (x - sx) ** 2 + (y - sy) ** 2 <= radius * radius
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_cc_union_find_equals_distributed_loop(spark, edges):
+    """The size-gated union-find fast path and the distributed
+    min-label loop must produce the identical component labeling on
+    arbitrary graphs — self-loops, parallel edges, chains, cliques."""
+    from trackdechets_etl_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        r.node: r.label
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    slow = {
+        r.node: r.label
+        for r in connected_components(
+            pairs, "id_a", "id_b", small_graph_edges=0
+        ).collect()
+    }
+    assert fast == slow

@@ -40,7 +40,9 @@ class QuerySpec:
 # events_attribution, graph_khop_reach, linkage_blocking_score,
 # dedup_semantic_prune, events_seasonal_dow, orders_backlog_aging;
 # round10.py: events_uplift_cuped, training_curriculum_order,
-# text_bigram_lm_score — all selfchecked green at sf0.01).
+# text_bigram_lm_score; round11.py: events_concurrency_peak,
+# events_bounce_rate, graph_neighbor_mode — all selfchecked green at
+# sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -111,6 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round8,
         round9,
         round10,
+        round11,
         scale,
         tpch2,
         training,
@@ -133,6 +136,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round8,
         round9,
         round10,
+        round11,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
