@@ -41,7 +41,8 @@ class QuerySpec:
 # dedup_semantic_prune, events_seasonal_dow, orders_backlog_aging;
 # round10.py: events_uplift_cuped, training_curriculum_order,
 # text_bigram_lm_score; round11.py: events_concurrency_peak,
-# events_bounce_rate, graph_neighbor_mode — all selfchecked green at
+# events_bounce_rate, graph_neighbor_mode; round12.py:
+# dq_profile_drift, orders_survival_km — all selfchecked green at
 # sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
@@ -114,6 +115,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9,
         round10,
         round11,
+        round12,
         scale,
         tpch2,
         training,
@@ -137,6 +139,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round9,
         round10,
         round11,
+        round12,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
