@@ -42,8 +42,9 @@ class QuerySpec:
 # round10.py: events_uplift_cuped, training_curriculum_order,
 # text_bigram_lm_score; round11.py: events_concurrency_peak,
 # events_bounce_rate, graph_neighbor_mode; round12.py:
-# dq_profile_drift, orders_survival_km — all selfchecked green at
-# sf0.01).
+# dq_profile_drift, orders_survival_km; round13.py:
+# orders_basket_lift, graph_jaccard_neighbors — all selfchecked green
+# at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -116,6 +117,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round10,
         round11,
         round12,
+        round13,
         scale,
         tpch2,
         training,
@@ -140,6 +142,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round10,
         round11,
         round12,
+        round13,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

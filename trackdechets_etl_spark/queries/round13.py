@@ -1,0 +1,220 @@
+"""Round-5 additions, eighth batch: association rules and
+collaborative-filtering similarity.
+
+- ``orders_basket_lift``: association-rule readout over co-purchased
+  part pairs — support, directional confidences, and lift from exact
+  integer counts (the only floats are the final three ratios, rounded
+  at 6). The step after ``orders_market_basket``'s raw pair counts.
+- ``graph_jaccard_neighbors``: item-item collaborative filtering —
+  supplier similarity as Jaccard over distinct customer neighborhoods,
+  computed through the shared-customer inverted index (never
+  |S|×|S|), top-3 neighbours per supplier by (similarity, id).
+
+All pure DataFrame algebra with exact DuckDB twins; invariant tests in
+tests/test_round13.py. Extensions beyond the reference DAGs, same
+oracle discipline as the §2 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.queries import QuerySpec
+
+# -------------------------------------------------- association rules
+
+_LIFT_MIN_SUPPORT = 2  # pair must co-occur in ≥ 2 orders
+
+
+def _orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased part pairs: for every pair
+    in ≥ 2 orders, support counts (exact integers), confidence in both
+    directions, and lift = n·supp_ab/(supp_a·supp_b). One distinct
+    (order, part) projection feeds all three counts: the pair self-join
+    is co-partitioned on the order key (the ``orders_market_basket``
+    plan), the per-part supports are one aggregation of the same
+    projection, and the order total is a 1-row broadcast. Floats only
+    in the final three ratios, rounded at 6 — no boundary to diverge
+    on."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.hint("merge")
+        .join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= _LIFT_MIN_SUPPORT)
+    )
+    supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            F.broadcast(supp.select(F.col("l_partkey").alias("p1"), F.col("supp").alias("supp_a"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("l_partkey").alias("p2"), F.col("supp").alias("supp_b"))),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            F.col("supp_ab").cast("long").alias("supp_ab"),
+            F.col("supp_a").cast("long").alias("supp_a"),
+            F.col("supp_b").cast("long").alias("supp_b"),
+            F.round(
+                F.col("supp_ab").cast("double") / F.col("supp_a"), 6
+            ).alias("conf_a_to_b"),
+            F.round(
+                F.col("supp_ab").cast("double") / F.col("supp_b"), 6
+            ).alias("conf_b_to_a"),
+            F.round(
+                F.col("supp_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("p1", "p2")
+    )
+
+
+ORDERS_BASKET_LIFT_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS supp_ab
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {_LIFT_MIN_SUPPORT}),
+supp AS (SELECT l_partkey, count(*) AS supp FROM li GROUP BY 1),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT p1, p2,
+       CAST(supp_ab AS BIGINT) AS supp_ab,
+       CAST(sa.supp AS BIGINT) AS supp_a,
+       CAST(sb.supp AS BIGINT) AS supp_b,
+       round(CAST(supp_ab AS DOUBLE) / sa.supp, 6) AS conf_a_to_b,
+       round(CAST(supp_ab AS DOUBLE) / sb.supp, 6) AS conf_b_to_a,
+       round(CAST(supp_ab AS DOUBLE) * n_orders / (sa.supp * sb.supp), 6)
+           AS lift
+FROM pairs
+JOIN supp sa ON pairs.p1 = sa.l_partkey
+JOIN supp sb ON pairs.p2 = sb.l_partkey, n
+ORDER BY p1, p2
+"""
+
+
+# --------------------------------------- neighborhood Jaccard similarity
+
+_NBR_TOP_K = 3
+
+
+def _graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: supplier similarity as
+    Jaccard over distinct customer neighborhoods. Shared-customer
+    counts come from the inverted index (customer → its suppliers,
+    self-joined per customer) so candidate pairs are linear in
+    Σ|customer's suppliers|² — never |S|×|S|; degree joins broadcast
+    (supplier-sized). Top-3 neighbours per supplier by (similarity
+    rounded at 6, neighbour id) — a supplier-keyed window over the
+    candidate pair table. At 100 TB hot customers (huge neighbor
+    lists) get degree-capped or downsampled first, the standard
+    item-CF guard."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    x = edges.select("cust", F.col("supp").alias("s1"))
+    y = edges.select(F.col("cust").alias("cust2"), F.col("supp").alias("s2"))
+    shared = (
+        x.join(y, (F.col("cust") == F.col("cust2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sim = (
+        shared.join(
+            F.broadcast(deg.select(F.col("supp").alias("s1"), F.col("deg").alias("d1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("supp").alias("s2"), F.col("deg").alias("d2"))),
+            "s2",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("shared")),
+                6,
+            ),
+        )
+    )
+    both = sim.select(
+        F.col("s1").alias("supp"), F.col("s2").alias("nbr"), "jaccard"
+    ).unionByName(
+        sim.select(
+            F.col("s2").alias("supp"), F.col("s1").alias("nbr"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("supp").orderBy(F.desc("jaccard"), F.col("nbr"))
+    return (
+        both.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _NBR_TOP_K)
+        .orderBy("supp", "rank")
+    )
+
+
+GRAPH_JACCARD_NBR_SQL = f"""
+WITH edges AS (
+    SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+deg AS (SELECT supp, count(*) AS deg FROM edges GROUP BY supp),
+shared AS (
+    SELECT a.supp AS s1, b.supp AS s2, count(*) AS shared
+    FROM edges a JOIN edges b ON a.cust = b.cust AND a.supp < b.supp
+    GROUP BY 1, 2),
+sim AS (
+    SELECT s1, s2,
+           round(CAST(shared AS DOUBLE) / (d1.deg + d2.deg - shared), 6)
+               AS jaccard
+    FROM shared
+    JOIN deg d1 ON shared.s1 = d1.supp
+    JOIN deg d2 ON shared.s2 = d2.supp),
+sym AS (
+    SELECT s1 AS supp, s2 AS nbr, jaccard FROM sim
+    UNION ALL
+    SELECT s2 AS supp, s1 AS nbr, jaccard FROM sim),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY supp
+                                      ORDER BY jaccard DESC, nbr)
+                   AS INTEGER) AS rank
+    FROM sym)
+SELECT supp, nbr, jaccard, rank
+FROM ranked WHERE rank <= {_NBR_TOP_K}
+ORDER BY supp, rank
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "orders_basket_lift": QuerySpec(_orders_basket_lift, ORDERS_BASKET_LIFT_SQL),
+    "graph_jaccard_neighbors": QuerySpec(
+        _graph_jaccard_neighbors, GRAPH_JACCARD_NBR_SQL
+    ),
+}
