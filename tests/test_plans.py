@@ -298,3 +298,41 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_attribution_single_conversion_shuffle(spark):
+    """All three attribution models share ONE conversion-keyed window
+    shuffle: the three window functions (count + two row_numbers) must
+    reuse a single exchange, and the dim-sized channel aggregation must
+    not add a second fact exchange on the same key."""
+    plan = _plan(REGISTRY["events_attribution"].fn(spark, SF_DIR))
+    assert plan.count("hashpartitioning(conv_id") == 1, (
+        "the three attribution windows must share one conv_id exchange"
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_basket_lift_reuses_copartitioned_self_join(spark):
+    """The lift readout must keep the market-basket co-partitioned
+    self-join shape (no broadcast of a fact side) and broadcast the
+    part-support and order-total sides."""
+    plan = _plan(REGISTRY["orders_basket_lift"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" in plan, "pair self-join should sort-merge"
+    assert "BroadcastHashJoin" in plan, "support joins should broadcast"
+    assert plan.count("hashpartitioning(ok") >= 1
+
+
+def test_semantic_prune_broadcasts_centroids(spark):
+    """SemDeDup centroids are cluster-count-sized and must broadcast;
+    the intra-cluster pair join must be an equi-join on the label (no
+    cartesian)."""
+    plan = _plan(REGISTRY["dedup_semantic_prune"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_khop_anti_join_present(spark):
+    """BFS rounds keep settled nodes off the wire via anti-joins
+    against the visited set."""
+    plan = _plan(REGISTRY["graph_khop_reach"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan, "visited-set anti-join missing"
