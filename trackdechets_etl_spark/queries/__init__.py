@@ -43,8 +43,9 @@ class QuerySpec:
 # text_bigram_lm_score; round11.py: events_concurrency_peak,
 # events_bounce_rate, graph_neighbor_mode; round12.py:
 # dq_profile_drift, orders_survival_km; round13.py:
-# orders_basket_lift, graph_jaccard_neighbors — all selfchecked green
-# at sf0.01).
+# orders_basket_lift, graph_jaccard_neighbors; round14.py:
+# text_langid_eval, events_srm_check — all selfchecked green at
+# sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -118,6 +119,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round11,
         round12,
         round13,
+        round14,
         scale,
         tpch2,
         training,
@@ -143,6 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round11,
         round12,
         round13,
+        round14,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
