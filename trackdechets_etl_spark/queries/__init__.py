@@ -44,8 +44,9 @@ class QuerySpec:
 # events_bounce_rate, graph_neighbor_mode; round12.py:
 # dq_profile_drift, orders_survival_km; round13.py:
 # orders_basket_lift, graph_jaccard_neighbors; round14.py:
-# text_langid_eval, events_srm_check — all selfchecked green at
-# sf0.01).
+# text_langid_eval, events_srm_check; round15.py:
+# text_js_divergence, orders_abc_class, layout_file_skipping — all
+# selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -120,6 +121,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round12,
         round13,
         round14,
+        round15,
         scale,
         tpch2,
         training,
@@ -146,6 +148,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round12,
         round13,
         round14,
+        round15,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
