@@ -45,8 +45,9 @@ class QuerySpec:
 # dq_profile_drift, orders_survival_km; round13.py:
 # orders_basket_lift, graph_jaccard_neighbors; round14.py:
 # text_langid_eval, events_srm_check; round15.py:
-# text_js_divergence, orders_abc_class, layout_file_skipping — all
-# selfchecked green at sf0.01).
+# text_js_divergence, orders_abc_class, layout_file_skipping;
+# round16.py: text_char_entropy, agg_mad_robust,
+# orders_seasonality_index — all selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -122,6 +123,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round13,
         round14,
         round15,
+        round16,
         scale,
         tpch2,
         training,
@@ -149,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round13,
         round14,
         round15,
+        round16,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
