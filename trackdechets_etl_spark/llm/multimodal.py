@@ -193,3 +193,55 @@ def frame_sample_offsets(df: DataFrame, n_frames: int = 4) -> DataFrame:
     step = F.greatest((F.col("n_bytes") / n_frames).cast("long"), F.lit(1))
     offsets = F.sequence(F.lit(0), F.col("n_bytes") - 1, step)
     return df.withColumn("frame_offsets", F.slice(offsets, 1, n_frames))
+
+
+AUDIO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_frames(df: DataFrame, frame: int = 256, hop: int = 128) -> DataFrame:
+    """PCM framing for audio payloads: fixed-length frames with 50%
+    overlap (frame=256 bytes, hop=128) and per-frame RMS energy of the
+    zero-centered 8-bit samples — the windowing step every audio
+    feature extractor (MFCC, mel spectrogram, VAD) starts with.
+    Arrow-batched ``mapInPandas`` with a vectorized numpy kernel per
+    payload; only FULL frames are emitted (f·hop + frame ≤ n). The RMS
+    is sqrt of an exact integer sum over 2^8-bounded samples, so both
+    engines compute the identical double."""
+    import numpy as np
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            rms: list[float] = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(b)
+                f = 0
+                while f * hop + frame <= n:
+                    seg = b[f * hop : f * hop + frame] - 128
+                    doc_ids.append(int(did))
+                    idxs.append(f)
+                    rms.append(float(np.sqrt(np.sum(seg * seg) / frame)))
+                    f += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(doc_ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "n_samples": pd.array([frame] * len(idxs), dtype="int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        frame_batches, AUDIO_FRAMES_SCHEMA
+    )

@@ -47,7 +47,8 @@ class QuerySpec:
 # text_langid_eval, events_srm_check; round15.py:
 # text_js_divergence, orders_abc_class, layout_file_skipping;
 # round16.py: text_char_entropy, agg_mad_robust,
-# orders_seasonality_index — all selfchecked green at sf0.01).
+# orders_seasonality_index; round17.py: multimodal_audio_frames — all
+# selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -124,6 +125,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round14,
         round15,
         round16,
+        round17,
         scale,
         tpch2,
         training,
@@ -152,6 +154,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round14,
         round15,
         round16,
+        round17,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
