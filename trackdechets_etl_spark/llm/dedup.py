@@ -259,6 +259,15 @@ def minhash_lsh_pairs(
     # pipelines where lineage recompute across actions is real.
     sh = shingles(df, text_col, id_col, n)
     sh = sh.cache() if cache_shingles else sh.localCheckpoint(eager=False)
+    candidates = minhash_candidates(sh, id_col)
+    return _pair_jaccard(sh, id_col, candidates).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_candidates(sh: DataFrame, id_col: str) -> DataFrame:
+    """LSH bucket-colliding candidate pairs from a shingle frame —
+    the pre-verification stage of :func:`minhash_lsh_pairs`, exposed
+    separately so the recall of the banding scheme can be measured
+    against the exact pair set (``dedup_minhash_recall``)."""
     sigs = minhash_signatures(sh, id_col)
     rows_per_band = N_MINHASH // N_BANDS
     band_structs = [
@@ -277,13 +286,12 @@ def minhash_lsh_pairs(
     ).select(id_col, "band.band_id", "band.bucket")
     left = banded.select(F.col(id_col).alias("id_a"), "band_id", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band_id", "bucket")
-    candidates = (
+    return (
         left.join(right, ["band_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    return _pair_jaccard(sh, id_col, candidates).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

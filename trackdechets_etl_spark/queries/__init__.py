@@ -47,8 +47,8 @@ class QuerySpec:
 # text_langid_eval, events_srm_check; round15.py:
 # text_js_divergence, orders_abc_class, layout_file_skipping;
 # round16.py: text_char_entropy, agg_mad_robust,
-# orders_seasonality_index; round17.py: multimodal_audio_frames — all
-# selfchecked green at sf0.01).
+# orders_seasonality_index; round17.py: multimodal_audio_frames;
+# round18.py: dedup_minhash_recall — all selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -126,6 +126,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round15,
         round16,
         round17,
+        round18,
         scale,
         tpch2,
         training,
@@ -155,6 +156,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round15,
         round16,
         round17,
+        round18,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
