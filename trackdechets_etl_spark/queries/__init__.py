@@ -48,7 +48,8 @@ class QuerySpec:
 # text_js_divergence, orders_abc_class, layout_file_skipping;
 # round16.py: text_char_entropy, agg_mad_robust,
 # orders_seasonality_index; round17.py: multimodal_audio_frames;
-# round18.py: dedup_minhash_recall — all selfchecked green at sf0.01).
+# round18.py: dedup_minhash_recall; round19.py:
+# orders_customer_migration — all selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -127,6 +128,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round16,
         round17,
         round18,
+        round19,
         scale,
         tpch2,
         training,
@@ -157,6 +159,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round16,
         round17,
         round18,
+        round19,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
