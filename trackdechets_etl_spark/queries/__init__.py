@@ -49,7 +49,8 @@ class QuerySpec:
 # round16.py: text_char_entropy, agg_mad_robust,
 # orders_seasonality_index; round17.py: multimodal_audio_frames;
 # round18.py: dedup_minhash_recall; round19.py:
-# orders_customer_migration — all selfchecked green at sf0.01).
+# orders_customer_migration; round20.py: ml_kmeans_lite — all
+# selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -129,6 +130,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round17,
         round18,
         round19,
+        round20,
         scale,
         tpch2,
         training,
@@ -160,6 +162,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round17,
         round18,
         round19,
+        round20,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
