@@ -49,8 +49,8 @@ class QuerySpec:
 # round16.py: text_char_entropy, agg_mad_robust,
 # orders_seasonality_index; round17.py: multimodal_audio_frames;
 # round18.py: dedup_minhash_recall; round19.py:
-# orders_customer_migration; round20.py: ml_kmeans_lite — all
-# selfchecked green at sf0.01).
+# orders_customer_migration; round20.py: ml_kmeans_lite; round21.py:
+# pipeline_rag_index — all selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -131,6 +131,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round18,
         round19,
         round20,
+        round21,
         scale,
         tpch2,
         training,
@@ -163,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round18,
         round19,
         round20,
+        round21,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
