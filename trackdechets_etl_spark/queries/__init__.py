@@ -50,7 +50,8 @@ class QuerySpec:
 # orders_seasonality_index; round17.py: multimodal_audio_frames;
 # round18.py: dedup_minhash_recall; round19.py:
 # orders_customer_migration; round20.py: ml_kmeans_lite; round21.py:
-# pipeline_rag_index — all selfchecked green at sf0.01).
+# pipeline_rag_index; round22.py: events_debounced_alerts — all
+# selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -132,6 +133,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round19,
         round20,
         round21,
+        round22,
         scale,
         tpch2,
         training,
@@ -165,6 +167,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round19,
         round20,
         round21,
+        round22,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
