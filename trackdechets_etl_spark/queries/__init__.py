@@ -50,8 +50,8 @@ class QuerySpec:
 # orders_seasonality_index; round17.py: multimodal_audio_frames;
 # round18.py: dedup_minhash_recall; round19.py:
 # orders_customer_migration; round20.py: ml_kmeans_lite; round21.py:
-# pipeline_rag_index; round22.py: events_debounced_alerts — all
-# selfchecked green at sf0.01).
+# pipeline_rag_index; round22.py: events_debounced_alerts;
+# round23.py: sketch_bloom_fpr — all selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -134,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round20,
         round21,
         round22,
+        round23,
         scale,
         tpch2,
         training,
@@ -168,6 +169,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round20,
         round21,
         round22,
+        round23,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
