@@ -51,7 +51,8 @@ class QuerySpec:
 # round18.py: dedup_minhash_recall; round19.py:
 # orders_customer_migration; round20.py: ml_kmeans_lite; round21.py:
 # pipeline_rag_index; round22.py: events_debounced_alerts;
-# round23.py: sketch_bloom_fpr — all selfchecked green at sf0.01).
+# round23.py: sketch_bloom_fpr; round24.py:
+# events_dau_wau_stickiness — all selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -135,6 +136,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round21,
         round22,
         round23,
+        round24,
         scale,
         tpch2,
         training,
@@ -170,6 +172,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round21,
         round22,
         round23,
+        round24,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
