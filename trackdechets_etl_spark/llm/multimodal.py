@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -244,4 +245,60 @@ def audio_frames(df: DataFrame, frame: int = 256, hop: int = 128) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         frame_batches, AUDIO_FRAMES_SCHEMA
+    )
+
+
+VIDEO_CUTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("l1_diff", LongType()),
+        StructField("is_cut", BooleanType()),
+    ]
+)
+
+
+def video_scene_cuts(
+    df: DataFrame, frame: int = 128, threshold_per_byte: int = 29
+) -> DataFrame:
+    """Scene-cut detection plumbing for video payloads: consecutive
+    non-overlapping byte frames, exact integer L1 difference between
+    each frame and its predecessor, cut flagged where the sum exceeds
+    ``threshold_per_byte``·frame. Arrow-batched ``mapInPandas`` numpy
+    kernel, one row per frame transition — a real detector swaps the
+    L1 kernel for a histogram/SSIM diff, same plumbing. All-integer
+    math, so both engines agree exactly."""
+    import numpy as np
+
+    thr = threshold_per_byte * frame
+
+    def cut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            l1s: list[int] = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                nf = len(b) // frame
+                for f in range(1, nf):
+                    cur = b[f * frame : (f + 1) * frame]
+                    prev = b[(f - 1) * frame : f * frame]
+                    doc_ids.append(int(did))
+                    idxs.append(f)
+                    l1s.append(int(np.abs(cur - prev).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(doc_ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "l1_diff": pd.array(l1s, dtype="int64"),
+                    "is_cut": pd.array(
+                        [x > thr for x in l1s], dtype="boolean"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        cut_batches, VIDEO_CUTS_SCHEMA
     )

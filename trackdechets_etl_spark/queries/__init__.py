@@ -52,7 +52,8 @@ class QuerySpec:
 # orders_customer_migration; round20.py: ml_kmeans_lite; round21.py:
 # pipeline_rag_index; round22.py: events_debounced_alerts;
 # round23.py: sketch_bloom_fpr; round24.py:
-# events_dau_wau_stickiness — all selfchecked green at sf0.01).
+# events_dau_wau_stickiness; round25.py: multimodal_video_cuts — all
+# selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -137,6 +138,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round22,
         round23,
         round24,
+        round25,
         scale,
         tpch2,
         training,
@@ -173,6 +175,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round22,
         round23,
         round24,
+        round25,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
