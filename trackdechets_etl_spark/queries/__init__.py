@@ -52,7 +52,8 @@ class QuerySpec:
 # orders_customer_migration; round20.py: ml_kmeans_lite; round21.py:
 # pipeline_rag_index; round22.py: events_debounced_alerts;
 # round23.py: sketch_bloom_fpr; round24.py:
-# events_dau_wau_stickiness; round25.py: multimodal_video_cuts — all
+# events_dau_wau_stickiness; round25.py: multimodal_video_cuts;
+# round26.py: supplier_share_hhi, lineitem_discount_uplift — all
 # selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
@@ -139,6 +140,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round23,
         round24,
         round25,
+        round26,
         scale,
         tpch2,
         training,
@@ -176,6 +178,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round23,
         round24,
         round25,
+        round26,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
