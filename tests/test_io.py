@@ -214,3 +214,22 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     )
     assert sorted((r[0], r[1]) for r in pushed.collect()) == expected
     assert pushed.columns == ["n_nationkey", "n_name"]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lakehouse schema drift: a second batch adds a column; reading
+    with mergeSchema unions the schemas and backfills NULL for the
+    old files — the contract a 100 TB table relies on when producers
+    evolve independently."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        p + "/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(p + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "score", "batch"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None, "old files must backfill NULL"
+    assert rows[2].score == 9.5

@@ -325,3 +325,61 @@ def test_idempotent_sink_replayed_batch_no_double_count(spark, tmp_path):
     assert sorted(r["k"] for r in replayed.collect()) == list(range(150))
     # Partition 1 untouched by the replay.
     assert replayed.filter("batch_id = 1").count() == 50
+
+
+def test_stream_stream_outer_join_emits_nulls_after_watermark(spark):
+    """LEFT OUTER stream-stream join semantics: every inner match of
+    the batch twin appears, and a click with NO purchase emits a
+    null-extended row iff the final watermark passed its join window
+    (click_ts + horizon < max_ts − watermark delay). Clicks newer than
+    that boundary stay buffered — asserting the exact boundary pins
+    the emission rule, not just row counts."""
+    from trackdechets_etl_spark.streaming.events import (
+        attribution_join_outer,
+        stream_from_parquet,
+    )
+    import datetime
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purchases = split(stream_from_parquet(spark, SF_DIR, "2 hours"))
+    joined = attribution_join_outer(s_clicks, s_purchases)
+    _drain(joined, "t_ssouter", mode="append")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM t_ssouter").collect()
+    }
+
+    ev = read_table(spark, SF_DIR, "events")
+    b_clicks, b_purchases = split(ev)
+    from trackdechets_etl_spark.streaming.events import attribution_join
+
+    inner = {
+        (r.click_id, r.purchase_id)
+        for r in attribution_join(b_clicks, b_purchases).collect()
+    }
+    assert inner <= got, "every inner match must appear in the outer join"
+    matched_clicks = {c for c, _p in inner}
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    emit_before = max_ts - datetime.timedelta(hours=2 + 1)
+    expected_nulls = {
+        r.event_id
+        for r in b_clicks.collect()
+        if r.event_id not in matched_clicks and r.ts < emit_before
+    }
+    got_nulls = {c for c, p in got if p is None}
+    # every decided unmatched click emitted; no matched click emitted
+    # a null row; nothing beyond the watermark boundary decided
+    assert expected_nulls <= got_nulls
+    assert not (got_nulls & matched_clicks)
+    late = {
+        r.event_id
+        for r in b_clicks.collect()
+        if r.ts >= max_ts - datetime.timedelta(hours=2)
+    }
+    assert not (got_nulls & late), "clicks inside the watermark cannot be decided"
+    assert expected_nulls, "degenerate: no unmatched click old enough"

@@ -189,6 +189,41 @@ def attribution_join(
     )
 
 
+def attribution_join_outer(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: like :func:`attribution_join`
+    but unconverted clicks survive with NULL purchase columns. The
+    null-extended row for a click can only emit once the watermark
+    passes ``click_ts + horizon`` (before that a matching purchase
+    could still arrive), so clicks near the end of the stream stay
+    unemitted — the test pins exactly that boundary. Same bounded
+    state as the inner join."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
 def idempotent_batch_writer(path: str):
     """Exactly-once ``foreachBatch`` sink pattern: each micro-batch
     writes into its own ``batch_id=`` partition with DYNAMIC partition
