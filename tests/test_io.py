@@ -233,3 +233,34 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None, "old files must backfill NULL"
     assert rows[2].score == 9.5
+
+
+def test_csv_malformed_rows_captured_and_droppable(spark, tmp_path):
+    """Ingestion robustness: PERMISSIVE mode lands malformed rows in
+    _corrupt_record (nothing silently lost), DROPMALFORMED removes
+    them — the two contracts a 100 TB CSV backfill chooses between."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("1;alpha;2.5\nbroken-row-without-fields\n2;beta;not_a_number\n3;gamma;7.25\n")
+    schema = "id INT, name STRING, score DOUBLE"
+    permissive = (
+        spark.read.schema(schema + ", _corrupt_record STRING")
+        .option("sep", ";")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    bad = permissive.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 2, "both malformed rows must be captured"
+    assert {r._corrupt_record for r in bad} == {
+        "broken-row-without-fields",
+        "2;beta;not_a_number",
+    }
+    dropped = (
+        spark.read.schema(schema)
+        .option("sep", ";")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+        .collect()
+    )
+    assert {r.id for r in dropped} == {1, 3}

@@ -53,8 +53,9 @@ class QuerySpec:
 # pipeline_rag_index; round22.py: events_debounced_alerts;
 # round23.py: sketch_bloom_fpr; round24.py:
 # events_dau_wau_stickiness; round25.py: multimodal_video_cuts;
-# round26.py: supplier_share_hhi, lineitem_discount_uplift — all
-# selfchecked green at sf0.01).
+# round26.py: supplier_share_hhi, lineitem_discount_uplift;
+# round27.py: events_error_budget_burn — all selfchecked green at
+# sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -141,6 +142,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round24,
         round25,
         round26,
+        round27,
         scale,
         tpch2,
         training,
@@ -179,6 +181,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round24,
         round25,
         round26,
+        round27,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
