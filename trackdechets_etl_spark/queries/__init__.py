@@ -54,8 +54,9 @@ class QuerySpec:
 # round23.py: sketch_bloom_fpr; round24.py:
 # events_dau_wau_stickiness; round25.py: multimodal_video_cuts;
 # round26.py: supplier_share_hhi, lineitem_discount_uplift;
-# round27.py: events_error_budget_burn — all selfchecked green at
-# sf0.01).
+# round27.py: events_error_budget_burn; round28.py:
+# text_ngram_novelty, events_inter_arrival_burstiness — all
+# selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -143,6 +144,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round25,
         round26,
         round27,
+        round28,
         scale,
         tpch2,
         training,
@@ -182,6 +184,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round25,
         round26,
         round27,
+        round28,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
