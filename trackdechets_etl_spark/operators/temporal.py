@@ -141,3 +141,43 @@ def semi_anti_split(
     semi = left.join(right, on, "left_semi").withColumn(marker_col, F.lit("present"))
     anti = left.join(right, on, "left_anti").withColumn(marker_col, F.lit("absent"))
     return semi, anti
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tie_col: str,
+    tolerance: str = "24 hours",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Point-in-time as-of join with a staleness bound — the feature-
+    store contract: attach the latest right row at or before the left
+    timestamp, but NULL the attachment when it is older than
+    ``tolerance`` (a stale feature is worse than a missing one). The
+    latest-within-tolerance row IS the latest-overall row when fresh,
+    so this is a post-pass over :func:`asof_join` — same single
+    shuffle, no extra plan cost."""
+    out = asof_join(
+        left,
+        right,
+        left_key=left_key,
+        right_key=right_key,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        payload_cols=payload_cols,
+        tie_col=tie_col,
+        prefix=prefix,
+    )
+    fresh = F.col(f"{prefix}{right_ts}") >= F.col(left_ts) - F.expr(
+        f"INTERVAL {tolerance}"
+    )
+    for c in [right_ts, *payload_cols]:
+        out = out.withColumn(
+            f"{prefix}{c}", F.when(fresh, F.col(f"{prefix}{c}"))
+        )
+    return out

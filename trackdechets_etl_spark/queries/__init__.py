@@ -55,8 +55,8 @@ class QuerySpec:
 # events_dau_wau_stickiness; round25.py: multimodal_video_cuts;
 # round26.py: supplier_share_hhi, lineitem_discount_uplift;
 # round27.py: events_error_budget_burn; round28.py:
-# text_ngram_novelty, events_inter_arrival_burstiness — all
-# selfchecked green at sf0.01).
+# text_ngram_novelty, events_inter_arrival_burstiness; round29.py:
+# join_asof_tolerance — all selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -145,6 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round26,
         round27,
         round28,
+        round29,
         scale,
         tpch2,
         training,
@@ -185,6 +186,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round26,
         round27,
         round28,
+        round29,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
