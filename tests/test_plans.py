@@ -31,6 +31,9 @@ def test_no_python_udfs_in_plan(name, spark):
     plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     assert "ArrowEvalPython" not in plan, f"{name}: Python UDF (Arrow) in plan"
+    # scalar cross joins must plan as BroadcastNestedLoop over a 1-row
+    # side, never as a partition-pairing CartesianProduct
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
 
 
 def test_flagship_pushdown_and_broadcast(spark):
