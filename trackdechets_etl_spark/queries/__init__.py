@@ -56,7 +56,8 @@ class QuerySpec:
 # round26.py: supplier_share_hhi, lineitem_discount_uplift;
 # round27.py: events_error_budget_burn; round28.py:
 # text_ngram_novelty, events_inter_arrival_burstiness; round29.py:
-# join_asof_tolerance — all selfchecked green at sf0.01).
+# join_asof_tolerance; round30.py: events_user_streaks — all
+# selfchecked green at sf0.01).
 _VERIFY_FIRST = [
     # never yet driver-verified (added late in round 4)
     "embedding_pc1",
@@ -146,6 +147,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round27,
         round28,
         round29,
+        round30,
         scale,
         tpch2,
         training,
@@ -187,6 +189,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round27,
         round28,
         round29,
+        round30,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
