@@ -92,9 +92,19 @@ def connected_components(
                 else:
                     parent[ru] = rv
         labels = [(n, find(n)) for n in parent]
-        return pairs.sparkSession.createDataFrame(
-            labels, schema="node long, label long"
+        # Derive the output schema from the edge frame so the fast path
+        # supports every node-id type the distributed loop does (which
+        # only needs F.min-orderability) — not just long ids.
+        from pyspark.sql import types as T
+
+        node_type = edges.schema["u"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("node", node_type),
+                T.StructField("label", node_type),
+            ]
         )
+        return pairs.sparkSession.createDataFrame(labels, schema=out_schema)
     n_parts = max(1, min(32, n_edges // 50_000 + 1))
     edges = edges.coalesce(n_parts)
     # Lazy checkpoints below: the convergence-sum action materializes

@@ -28,89 +28,66 @@ class QuerySpec:
 # round (observed: CORRECTNESS_r01.json covers exactly keys 0-49).
 # Rotate queries that have not yet produced a green driver check to the
 # front, so successive rounds accumulate verified coverage of the whole
-# registry. Cumulative through r4: 145/154 green (see VERDICT r4); the
-# round-5 front below holds exactly 50 entries: the 9 never-verified
-# entries plus the 41 round-5 additions. Queries whose SEMANTICS
-# changed this round (ADVICE fixes: events_sessionize_ids,
-# tpch_q11_important_stock, orders_market_basket; restructures:
-# pipeline_training_data, pipeline_siretisation_stats) did not fit the
-# 50-slot window — they are locally verified by scripts/selfcheck at
-# the driver's own sf0.01 scale and MUST lead the round-6 rotation,
-# together with the post-window round-5 additions (round9.py:
-# events_attribution, graph_khop_reach, linkage_blocking_score,
-# dedup_semantic_prune, events_seasonal_dow, orders_backlog_aging;
-# round10.py: events_uplift_cuped, training_curriculum_order,
-# text_bigram_lm_score; round11.py: events_concurrency_peak,
-# events_bounce_rate, graph_neighbor_mode; round12.py:
-# dq_profile_drift, orders_survival_km; round13.py:
-# orders_basket_lift, graph_jaccard_neighbors; round14.py:
-# text_langid_eval, events_srm_check; round15.py:
-# text_js_divergence, orders_abc_class, layout_file_skipping;
-# round16.py: text_char_entropy, agg_mad_robust,
-# orders_seasonality_index; round17.py: multimodal_audio_frames;
-# round18.py: dedup_minhash_recall; round19.py:
-# orders_customer_migration; round20.py: ml_kmeans_lite; round21.py:
-# pipeline_rag_index; round22.py: events_debounced_alerts;
-# round23.py: sketch_bloom_fpr; round24.py:
-# events_dau_wau_stickiness; round25.py: multimodal_video_cuts;
-# round26.py: supplier_share_hhi, lineitem_discount_uplift;
-# round27.py: events_error_budget_burn; round28.py:
-# text_ngram_novelty, events_inter_arrival_burstiness; round29.py:
-# join_asof_tolerance; round30.py: events_user_streaks — all
-# selfchecked green at sf0.01).
+# registry. Cumulative through r5: 195/235 entries have a driver row
+# (193 full hash-pass + 2 rows-only by design; zero failures ever).
+# The round-6 front below holds the 46 entries without a CURRENT green
+# row — the 5 whose semantics changed in round 5 after their green row
+# (ADVICE fixes + plan restructures), then the 40 round-5 additions
+# past that round's window (round9.py-round30.py), then orders_gini
+# (green r5, but its rank-weighted sum was widened to decimal(38,0)
+# this round per ADVICE r5) — plus the new round-6 additions up to the
+# 50-slot cap. All were re-verified locally by scripts/selfcheck at
+# the driver's own sf0.01 scale before this rotation.
 _VERIFY_FIRST = [
-    # never yet driver-verified (added late in round 4)
-    "embedding_pc1",
-    "events_dwell_times",
-    "events_funnel_horizon",
-    "events_markov_transitions",
-    "events_windowed_dedup",
-    "orders_pareto",
-    "orders_ship_latency",
-    "orders_yoy_growth",
-    "text_lm_score",
-    # new in round 5
-    "join_dpp_partition_pruned",
-    "orders_ship_latency_approx",  # rows-only (GK sketch, no oracle)
-    "sim_pq_recall",
-    "sim_ivfpq_topk",
-    "events_gap_ffill",
-    "events_ewma_daily",
-    "weighted_median_parts",
-    "join_grid_spatial",
-    "text_bpe_pairs",
-    "sketch_countmin_heavyhitters",
-    "events_rolling_median",
-    "dedup_incremental_batch",
-    "events_twap",
-    "events_winsorized_stats",
-    "dq_benford_digits",
-    "dedup_containment_pairs",
-    "graph_triangles",
-    "agg_histogram_equidepth",
-    "events_cusum_changepoint",
-    "sim_knn_classify",
-    "events_entropy_profile",
-    "text_zipf_fit",
-    "events_ab_lift",
-    "orders_cohort_ltv",
-    "events_pattern_match",
-    "events_rolling_corr",
-    "events_gap_interpolate",
-    "text_repeated_ngrams",
-    "text_passage_dedup",
-    "text_posting_lists",
-    "embedding_standardize",
+    # semantics changed in round 5 AFTER their green driver row
+    "events_sessionize_ids",
+    "tpch_q11_important_stock",
+    "orders_market_basket",
+    "pipeline_training_data",
+    "pipeline_siretisation_stats",
+    # round-5 additions past that round's 50-slot window
+    "events_attribution",
+    "graph_khop_reach",
+    "linkage_blocking_score",
+    "dedup_semantic_prune",
+    "events_seasonal_dow",
+    "orders_backlog_aging",
+    "events_uplift_cuped",
+    "training_curriculum_order",
+    "text_bigram_lm_score",
+    "events_concurrency_peak",
+    "events_bounce_rate",
+    "graph_neighbor_mode",
+    "dq_profile_drift",
+    "orders_survival_km",
+    "orders_basket_lift",
+    "graph_jaccard_neighbors",
+    "text_langid_eval",
+    "events_srm_check",
+    "text_js_divergence",
+    "orders_abc_class",
+    "layout_file_skipping",
+    "text_char_entropy",
+    "agg_mad_robust",
+    "orders_seasonality_index",
+    "multimodal_audio_frames",
+    "dedup_minhash_recall",
+    "orders_customer_migration",
+    "ml_kmeans_lite",
+    "pipeline_rag_index",
+    "events_debounced_alerts",
+    "sketch_bloom_fpr",
+    "events_dau_wau_stickiness",
+    "multimodal_video_cuts",
+    "supplier_share_hhi",
+    "lineitem_discount_uplift",
+    "events_error_budget_burn",
+    "text_ngram_novelty",
+    "events_inter_arrival_burstiness",
+    "join_asof_tolerance",
+    "events_user_streaks",
+    # expression widened this round (ADVICE r5: decimal accumulation)
     "orders_gini",
-    "sim_maxsim",
-    "events_chisq",
-    "parts_skyline_2d",
-    "orders_prorate_cents",
-    "events_trend_slope",
-    "layout_compaction_bins",
-    "events_late_arrivals",
-    "training_negative_pairs",
-    "diff_merkle_buckets",
 ]
 
 

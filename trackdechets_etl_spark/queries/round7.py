@@ -574,8 +574,14 @@ def _orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("cents") / 100.0, 2).alias("total_revenue"),
         F.round(
             2.0
-            * F.sum(F.col("i") * F.col("cents")).cast("double")
-            / (F.count(F.lit(1)) * F.sum("cents")).cast("double")
+            # rank-weighted sum accumulates in decimal(38,0): at large
+            # SFs it grows ~n_customers^2 * avg_cents and would wrap
+            # int64 silently where DuckDB promotes to HUGEINT (the
+            # round28 burstiness sum-of-squares convention).
+            * F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).cast("double")
+            / (F.count(F.lit(1)).cast("decimal(38,0)") * F.sum("cents")).cast(
+                "double"
+            )
             - (F.count(F.lit(1)) + 1).cast("double")
             / F.count(F.lit(1)).cast("double"),
             6,

@@ -242,6 +242,15 @@ _LNK_BAL_EPS_CENTS = 50_000  # |Δacctbal| < $500 counts as agreement
 _LNK_THRESHOLD = 25
 
 
+def _last2(c):
+    """Exact Spark equivalent of DuckDB ``right(x, 2)`` for ANY input
+    length: negative-position ``substring(x, -2, 2)`` returns '' when
+    |pos| exceeds the length (1-char inputs), where ``right`` returns
+    the whole string. ``substring(x, greatest(len-1, 1), 2)`` agrees
+    with ``right`` for lengths 0, 1 and >=2 alike."""
+    return F.substring(c, F.greatest(F.length(c) - F.lit(1), F.lit(1)), F.lit(2))
+
+
 def _linkage_blocking_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter-shaped record linkage between customers and
     suppliers: block on nationkey (candidate pairs are linear in block
@@ -256,17 +265,13 @@ def _linkage_blocking_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_nationkey").alias("nk"),
-        F.substring(F.regexp_extract("c_name", r"([0-9]+)$", 1), -2, 2).alias(
-            "c_d2"
-        ),
+        _last2(F.regexp_extract("c_name", r"([0-9]+)$", 1)).alias("c_d2"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("c_cents"),
     )
     s = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         F.col("s_nationkey").alias("nk"),
-        F.substring(F.regexp_extract("s_name", r"([0-9]+)$", 1), -2, 2).alias(
-            "s_d2"
-        ),
+        _last2(F.regexp_extract("s_name", r"([0-9]+)$", 1)).alias("s_d2"),
         F.round(F.col("s_acctbal") * 100).cast("long").alias("s_cents"),
     )
     pairs = c.join(F.broadcast(s), "nk")
