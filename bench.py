@@ -70,7 +70,9 @@ def main() -> None:
     # 25% — two independent passes landing close means the min is the
     # machine's floor, not the tail of a burst.
     MAX_PASSES = 7
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
+    raw_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry[name].fn
         samples: list[float] = []
@@ -82,12 +84,18 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
         timings[name] = round(min(samples), 3)
+        raw_samples[name] = [round(s, 3) for s in samples]
         print(
             f"# {name}: {timings[name]}s ({len(samples)} passes)",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
+    # Environment evidence so cross-round noise is adjudicable without
+    # guessing (VERDICT r5): every raw pass per query plus the 1/5/15 min
+    # load average before and after the run. A co-tenant burst shows up
+    # as (a) inflated load and (b) a wide min-to-median spread in the
+    # raw samples; a genuine plan regression shows neither.
     print(
         json.dumps(
             {
@@ -96,6 +104,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "samples": raw_samples,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -383,3 +383,160 @@ def test_stream_stream_outer_join_emits_nulls_after_watermark(spark):
     }
     assert not (got_nulls & late), "clicks inside the watermark cannot be decided"
     assert expected_nulls, "degenerate: no unmatched click old enough"
+
+
+# --------------------------------------------------------------------------
+# Watermark BOUNDARY semantics (VERDICT r5 item 5): what happens exactly AT
+# the watermark vs 1 second beyond it, pinned with deterministic two-run
+# streams (sequential availableNow runs sharing one checkpoint — each run
+# is its own micro-batch, so the watermark at the start of run 2 is exactly
+# max_ts(run 1) - delay, no file-ordering races).
+
+
+def _run_collect(stream_df, ckpt, sink: list):
+    """Drain one availableNow pass appending every output row to sink."""
+
+    def grab(batch_df, _bid):
+        sink.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(grab)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_dedup_watermark_eviction_and_late_row_boundary(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state/lateness boundaries, 10s delay:
+
+    - a duplicate 1s INSIDE the delay is dropped (the guarantee);
+    - after the watermark passes first_ts + delay, the key's state is
+      EVICTED, so a later duplicate re-emits — dedup-within-watermark
+      is not global dedup, and the test pins where the line sits;
+    - a run-2 row timestamped exactly AT the watermark is DROPPED as
+      late (measured: the survive condition is strictly ts >
+      watermark), while 1s beyond it survives — the E re-emit at
+      watermark+1s doubles as the "1 beyond" witness.
+    """
+    import datetime as dt
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "dedup_ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "event_id string, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def stream():
+        s = (
+            spark.readStream.schema("event_id string, ts timestamp")
+            .parquet(f"{src}/*")
+        )
+        return s.withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+    got: list = []
+    # Run 1: E once; F twice 9s apart (inside delay -> one F); G is the
+    # clock: max ts t0+30s -> watermark after run 1 = t0+20s, which
+    # evicts E (expires t0+10s) and F (expires t0+19s) but keeps G
+    # (expires t0+40s).
+    write_file("f1", [
+        ("E", t0),
+        ("F", t0),
+        ("F", t0 + dt.timedelta(seconds=9)),
+        ("G", t0 + dt.timedelta(seconds=30)),
+    ])
+    _run_collect(stream(), ckpt, got)
+    assert sorted(r.event_id for r in got) == ["E", "F", "G"]
+
+    # Run 2 (watermark now t0+20s): E again at t0+21s (watermark+1s)
+    # -> not late AND state was evicted -> RE-EMITS; G again at t0+35s
+    # -> state alive -> dropped; L1 exactly AT the watermark and L2 1s
+    # before it -> both late-dropped (measured boundary: survival
+    # requires ts STRICTLY greater than the watermark).
+    write_file("f2", [
+        ("E", t0 + dt.timedelta(seconds=21)),
+        ("G", t0 + dt.timedelta(seconds=35)),
+        ("L1", t0 + dt.timedelta(seconds=20)),
+        ("L2", t0 + dt.timedelta(seconds=19)),
+    ])
+    run2: list = []
+    _run_collect(stream(), ckpt, run2)
+    assert sorted(r.event_id for r in run2) == ["E"], [
+        (r.event_id, r.ts) for r in run2
+    ]
+
+
+def test_outer_join_null_emission_exact_horizon_boundary(spark, tmp_path):
+    """LEFT OUTER stream-stream join null-emission boundary: the
+    null-extended row for an unmatched click emits only once the
+    watermark moves STRICTLY past click_ts + horizon. A purchase-side
+    clock that parks the watermark exactly AT click_ts + horizon does
+    not release it; 1s further does."""
+    import datetime as dt
+
+    from trackdechets_etl_spark.streaming.events import attribution_join_outer
+
+    click_dir = tmp_path / "clicks"
+    buy_dir = tmp_path / "buys"
+    click_dir.mkdir()
+    buy_dir.mkdir()
+    ckpt = str(tmp_path / "oj_ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    horizon = dt.timedelta(hours=1)
+    delay = dt.timedelta(seconds=10)
+
+    schema = "user_id long, ts timestamp, event_id string"
+
+    def write_file(d, name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / name))
+
+    def joined():
+        c = (
+            spark.readStream.schema(schema)
+            .parquet(f"{click_dir}/*")
+            .withWatermark("ts", "10 seconds")
+        )
+        p = (
+            spark.readStream.schema(schema)
+            .parquet(f"{buy_dir}/*")
+            .withWatermark("ts", "10 seconds")
+        )
+        return attribution_join_outer(c, p)
+
+    got: list = []
+    # Run 1: one never-matched click; purchase clock parks BOTH
+    # watermarks exactly at click_ts + horizon (clock ts - delay).
+    write_file(click_dir, "c1", [
+        (1, t0, "click-1"),
+        (99, t0 + horizon + delay, "click-clock"),
+    ])
+    write_file(buy_dir, "b1", [(98, t0 + horizon + delay, "buy-clock")])
+    _run_collect(joined(), ckpt, got)
+    assert not any(
+        r.click_id == "click-1" and r.purchase_id is None for r in got
+    ), "null row released with watermark only AT click_ts + horizon"
+
+    # Run 2: advance the clocks 1s past the horizon -> the null row for
+    # click-1 must now emit, exactly once.
+    write_file(click_dir, "c2", [
+        (99, t0 + horizon + delay + dt.timedelta(seconds=1), "click-clock2"),
+    ])
+    write_file(buy_dir, "b2", [
+        (98, t0 + horizon + delay + dt.timedelta(seconds=1), "buy-clock2"),
+    ])
+    run2: list = []
+    _run_collect(joined(), ckpt, run2)
+    nulls = [
+        r for r in run2 if r.click_id == "click-1" and r.purchase_id is None
+    ]
+    assert len(nulls) == 1, [(r.click_id, r.purchase_id) for r in run2]

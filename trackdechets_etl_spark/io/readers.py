@@ -108,6 +108,36 @@ def read_jdbc_query(
     return reader.load()
 
 
+def read_jdbc_table_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S6 at scale: range-partitioned parallel JDBC scan (reference
+    ``dags/icpe-siretisation.py:230-233`` reads single-threaded; this
+    is its Spark mapping per SURVEY §2.1). Spark issues one query per
+    stride of ``partition_column`` — N concurrent connections, each
+    executor pulling a disjoint slice. Uses ``dbtable`` because the
+    JDBC source forbids combining ``query`` with partitionColumn."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

@@ -118,7 +118,19 @@ def connected_components(
         edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
     )
     labels = labels.coalesce(n_parts).localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    # Convergence signature must work for ANY orderable node-id type
+    # (plain F.sum("label") breaks on string ids): labels only ever
+    # decrease, so "converged" is exactly "label multiset unchanged",
+    # which the sum of per-row xxhash64 detects for any type. The sum
+    # accumulates in decimal(38,0) — full-range int64 hashes would
+    # overflow an ANSI long sum.
+    def _label_sig(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.xxhash64(F.col("label").cast("string")).cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sig(labels)
     converged = False
     for _ in range(max_iterations):
         neighbor_labels = edges.join(
@@ -131,7 +143,7 @@ def connected_components(
             .coalesce(n_parts)
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = _label_sig(labels)
         if cur_sum == prev_sum:
             converged = True
             break

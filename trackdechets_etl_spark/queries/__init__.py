@@ -88,6 +88,11 @@ _VERIFY_FIRST = [
     "events_user_streaks",
     # expression widened this round (ADVICE r5: decimal accumulation)
     "orders_gini",
+    # new in round 6 (round31.py)
+    "events_running_totals_final",
+    "embedding_quantize_int8",
+    "lineitem_linenumber_bitmap",
+    "join_bloom_prefilter",
 ]
 
 
@@ -125,6 +130,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round28,
         round29,
         round30,
+        round31,
         scale,
         tpch2,
         training,
@@ -167,6 +173,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round28,
         round29,
         round30,
+        round31,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
