@@ -302,3 +302,47 @@ def video_scene_cuts(
     return df.select("doc_id", "payload").mapInPandas(
         cut_batches, VIDEO_CUTS_SCHEMA
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bits", StringType()),
+    ]
+)
+
+
+def image_phash_bits(df: DataFrame, n_px: int = 64) -> DataFrame:
+    """Average-hash (aHash) plumbing for image payloads: the first
+    ``n_px`` bytes stand in for the 8x8 downsampled grayscale grid a
+    real decoder would produce (PIL resize + L-mode — not in this
+    container), and each "pixel" hashes to 1 iff strictly above the
+    grid mean. Emits the hash as an ``n_px``-char '0'/'1' string so
+    the banded near-dup join can slice it with plain substrings.
+
+    All-integer comparison (n_px * pixel > sum) — bit-exact across
+    engines, same discipline as the audio/video kernels. Arrow-batched
+    ``mapInPandas``; payload bytes never leave the scan partition."""
+    import numpy as np
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            bits: list[str] = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload)[:n_px], dtype=np.uint8).astype(
+                    np.int64
+                )
+                if len(b) < n_px:
+                    continue
+                s = int(b.sum())
+                ids.append(int(did))
+                bits.append("".join("1" if n_px * int(x) > s else "0" for x in b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "bits": pd.array(bits, dtype="string"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(phash_batches, PHASH_SCHEMA)

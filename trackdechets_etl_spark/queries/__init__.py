@@ -38,6 +38,10 @@ class QuerySpec:
 # this round per ADVICE r5) — plus the new round-6 additions up to the
 # 50-slot cap. All were re-verified locally by scripts/selfcheck at
 # the driver's own sf0.01 scale before this rotation.
+#
+# Post-window queue for the ROUND-7 rotation (added after the r6
+# window filled; selfchecked at sf0.01): round32.py:
+# multimodal_image_phash, orders_reorder_rate, text_hashing_trick.
 _VERIFY_FIRST = [
     # semantics changed in round 5 AFTER their green driver row
     "events_sessionize_ids",
@@ -131,6 +135,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round29,
         round30,
         round31,
+        round32,
         scale,
         tpch2,
         training,
@@ -174,6 +179,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round29,
         round30,
         round31,
+        round32,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
