@@ -174,14 +174,15 @@ def ngram_jaccard_pairs(
         return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
     # One keyed shingle frame feeds FOUR consumers (sizes, the prefix
-    # window, and both sides of the verification join); lazily
-    # checkpoint it so the split+transform+explode of the raw text runs
-    # once, not per consumer. Lazy = materialized by the query's own
-    # first action, one job (the connected-components lesson in
-    # docs/SCALE.md); measured at sf0.1: 1.76s → 1.53s.
+    # window, and both sides of the verification join); checkpoint it
+    # so the split+transform+explode of the raw text runs once, not
+    # per consumer. EAGER: with four consumers the broadcast/shuffle
+    # jobs otherwise race the lazy materialization and re-execute the
+    # lineage (r6 A/B at sf0.1: eager 2.00s vs lazy 2.40s; the r5
+    # lazy-wins measurement only holds for the tiny-frame CC loop).
     keyed = (
         sh.select(F.col(id_col), F.xxhash64("shingle").alias("k"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sizes = keyed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     w = Window.partitionBy(id_col).orderBy("k")

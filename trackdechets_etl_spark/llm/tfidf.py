@@ -40,7 +40,14 @@ def tfidf(
     """Per-(doc, term) TF-IDF weights; optionally only each doc's
     ``top_k`` terms (rank key: weight rounded to 9dp desc, term asc —
     engine-stable). Weight = tf * ln(n_docs / df)."""
-    tc = term_counts(docs, text_col, id_col)
+    # tc feeds BOTH the df table and the scored join, and Spark does
+    # not reuse the exchange between the two consumers (verified:
+    # no ReusedExchange in the plan) — without materialization the
+    # explode+count runs twice. Checkpointing the (doc, term, tf)
+    # frame (far smaller than the raw text) measured 1.63s -> 1.23s
+    # at sf0.1; eager beats lazy (1.52s) because the broadcast-side
+    # job otherwise races the materialization.
+    tc = term_counts(docs, text_col, id_col).localCheckpoint(eager=True)
     n_docs = docs.select(id_col).distinct().count()
     df_tbl = tc.groupBy("term").agg(F.count("*").alias("df"))
     scored = tc.join(F.broadcast(df_tbl), "term").select(
