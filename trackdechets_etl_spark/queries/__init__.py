@@ -41,7 +41,8 @@ class QuerySpec:
 #
 # Post-window queue for the ROUND-7 rotation (added after the r6
 # window filled; selfchecked at sf0.01): round32.py:
-# multimodal_image_phash, orders_reorder_rate, text_hashing_trick.
+# multimodal_image_phash, orders_reorder_rate, text_hashing_trick;
+# round33.py: events_user_type_profile, events_time_to_first_purchase.
 _VERIFY_FIRST = [
     # semantics changed in round 5 AFTER their green driver row
     "events_sessionize_ids",
@@ -136,6 +137,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round30,
         round31,
         round32,
+        round33,
         scale,
         tpch2,
         training,
@@ -180,6 +182,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round30,
         round31,
         round32,
+        round33,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

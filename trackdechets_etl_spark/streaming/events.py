@@ -260,3 +260,72 @@ def run_to_memory_sink(stream_df: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def user_type_profile(events: DataFrame) -> DataFrame:
+    """Per-user event count + distinct-event-type count via Spark 4's
+    ``transformWithStateInPandas`` (the successor API to
+    ``applyInPandasWithState``: typed state variables instead of one
+    opaque tuple, optional TTL and timers). NOTE: the API's Python
+    state-server protocol imports ``google.protobuf``, absent from
+    this container — the op runs on any protobuf-equipped cluster and
+    its equivalence test skips cleanly here (same environment-gate
+    discipline as the media codecs). State per user is one
+    ValueState counter plus one ListState of seen types — O(users ×
+    types) bounded, partitioned across the state store exactly like
+    the GroupState op. Emits the updated profile for every user
+    touched by a micro-batch; the batch twin
+    (``events_user_type_profile`` in queries/round33.py) is the
+    DuckDB-oracled anchor and test_streaming.py pins equivalence."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n_events", "n long")
+            self._types = handle.getListState("types", "t string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            seen = (
+                {t for (t,) in self._types.get()} if self._types.exists() else set()
+            )
+            n, new_types, out = _type_profile_step(key[0], n, seen, rows)
+            for t in new_types:
+                self._types.appendValue((t,))
+            self._n.update((n,))
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeProfile(),
+        outputStructType="user_id long, n_events long, n_types long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _type_profile_step(user_id, n, seen, pdfs):
+    """Pure per-key update step of :func:`user_type_profile`, factored
+    out of the StatefulProcessor so the state-transition logic is unit
+    testable without the (protobuf-dependent) state-server protocol:
+    folds the batch into (count, seen-type set) and returns the new
+    count, the NEWLY seen types (for ListState appends) and the one
+    emitted update row."""
+    import pandas as pd
+
+    new_types = []
+    for pdf in pdfs:
+        n += len(pdf)
+        for t in pdf["event_type"]:
+            if t not in seen:
+                seen.add(t)
+                new_types.append(t)
+    out = pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "n_types": [len(seen)]}
+    )
+    return n, new_types, out
