@@ -42,7 +42,9 @@ class QuerySpec:
 # Post-window queue for the ROUND-7 rotation (added after the r6
 # window filled; selfchecked at sf0.01): round32.py:
 # multimodal_image_phash, orders_reorder_rate, text_hashing_trick;
-# round33.py: events_user_type_profile, events_time_to_first_purchase.
+# round33.py: events_user_type_profile, events_time_to_first_purchase;
+# round34.py: sim_matryoshka_recall, dataset_card_stats,
+# graph_degree_histogram.
 _VERIFY_FIRST = [
     # semantics changed in round 5 AFTER their green driver row
     "events_sessionize_ids",
@@ -138,6 +140,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round31,
         round32,
         round33,
+        round34,
         scale,
         tpch2,
         training,
@@ -183,6 +186,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round31,
         round32,
         round33,
+        round34,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
