@@ -44,7 +44,8 @@ class QuerySpec:
 # multimodal_image_phash, orders_reorder_rate, text_hashing_trick;
 # round33.py: events_user_type_profile, events_time_to_first_purchase;
 # round34.py: sim_matryoshka_recall, dataset_card_stats,
-# graph_degree_histogram.
+# graph_degree_histogram; round35.py: lineitem_encoding_advisor,
+# embedding_centroid_drift, orders_join_size_estimate.
 _VERIFY_FIRST = [
     # semantics changed in round 5 AFTER their green driver row
     "events_sessionize_ids",
@@ -141,6 +142,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round32,
         round33,
         round34,
+        round35,
         scale,
         tpch2,
         training,
@@ -187,6 +189,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round32,
         round33,
         round34,
+        round35,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
