@@ -45,7 +45,8 @@ class QuerySpec:
 # round33.py: events_user_type_profile, events_time_to_first_purchase;
 # round34.py: sim_matryoshka_recall, dataset_card_stats,
 # graph_degree_histogram; round35.py: lineitem_encoding_advisor,
-# embedding_centroid_drift, orders_join_size_estimate.
+# embedding_centroid_drift, orders_join_size_estimate; round36.py:
+# embedding_quantile_normalize, dedup_minhash_calibration.
 _VERIFY_FIRST = [
     # semantics changed in round 5 AFTER their green driver row
     "events_sessionize_ids",
@@ -143,6 +144,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round33,
         round34,
         round35,
+        round36,
         scale,
         tpch2,
         training,
@@ -190,6 +192,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round33,
         round34,
         round35,
+        round36,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
