@@ -51,6 +51,8 @@ def test_image_phash_finds_exact_duplicates_python_replay(spark):
             buckets[(bi, bits[i][bi * 16 : (bi + 1) * 16])].append(i)
     cands = set()
     for members in buckets.values():
+        if len(members) > 50:  # the _MAX_BUCKET degenerate-bucket cap
+            continue
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
                 cands.add((members[x], members[y]))

@@ -46,7 +46,8 @@ class QuerySpec:
 # round34.py: sim_matryoshka_recall, dataset_card_stats,
 # graph_degree_histogram; round35.py: lineitem_encoding_advisor,
 # embedding_centroid_drift, orders_join_size_estimate; round36.py:
-# embedding_quantile_normalize, dedup_minhash_calibration.
+# embedding_quantile_normalize, dedup_minhash_calibration;
+# round37.py: orders_seasonal_naive_backtest, dq_null_cardinality_matrix.
 _VERIFY_FIRST = [
     # semantics changed in round 5 AFTER their green driver row
     "events_sessionize_ids",
@@ -145,6 +146,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round34,
         round35,
         round36,
+        round37,
         scale,
         tpch2,
         training,
@@ -193,6 +195,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round34,
         round35,
         round36,
+        round37,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

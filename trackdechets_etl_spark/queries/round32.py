@@ -36,6 +36,13 @@ _N_PX = 64
 _N_BANDS = 4
 _BAND_W = _N_PX // _N_BANDS
 _HAM_T = 8
+# Hot-bucket cap: ASCII-derived aHashes concentrate in a few mostly-1
+# band values (measured at sf0.1: one 16-bit band bucket holds 115 of
+# 1627 images -> 65k candidate pairs, quadratic in the hot bucket). A
+# band bucket larger than this is non-discriminative and is skipped
+# for candidate generation — the standard LSH degenerate-bucket guard;
+# mirrored exactly in the oracle, so the pruning is hash-checked too.
+_MAX_BUCKET = 50
 
 
 def _multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +59,7 @@ def _multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mm_kind") == "image") & (F.col("n_bytes") >= _N_PX)
     )
     bits = image_phash_bits(mm, n_px=_N_PX).localCheckpoint(eager=True)
-    bands = bits.select(
+    bands_all = bits.select(
         "doc_id",
         F.explode(
             F.array(
@@ -66,6 +73,13 @@ def _multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.bi", "band.bv")
+    bucket_sizes = bands_all.groupBy("bi", "bv").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    bands = bands_all.join(
+        F.broadcast(bucket_sizes.filter(F.col("__bn") <= _MAX_BUCKET)),
+        ["bi", "bv"],
+    ).drop("__bn")
     cand = (
         bands.alias("a")
         .join(
@@ -117,9 +131,15 @@ bands AS (
     SELECT doc_id, bi,
            substring(bits, CAST(bi * {_BAND_W} + 1 AS INT), {_BAND_W}) AS bv
     FROM bits, (SELECT unnest(generate_series(0, {_N_BANDS - 1})) AS bi)),
+bsz AS (
+    SELECT bi, bv, count(*) AS bn FROM bands GROUP BY bi, bv),
+kept AS (
+    SELECT bands.doc_id, bands.bi, bands.bv
+    FROM bands JOIN bsz ON bands.bi = bsz.bi AND bands.bv = bsz.bv
+    WHERE bsz.bn <= {_MAX_BUCKET}),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM kept a JOIN kept b
       ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
 hp AS (
     SELECT id_a, id_b, unnest(generate_series(1, {_N_PX})) AS i FROM cand),
