@@ -47,7 +47,8 @@ class QuerySpec:
 # graph_degree_histogram; round35.py: lineitem_encoding_advisor,
 # embedding_centroid_drift, orders_join_size_estimate; round36.py:
 # embedding_quantile_normalize, dedup_minhash_calibration;
-# round37.py: orders_seasonal_naive_backtest, dq_null_cardinality_matrix.
+# round37.py: orders_seasonal_naive_backtest, dq_null_cardinality_matrix;
+# round38.py: text_bm25_topk, events_burst_profile.
 _VERIFY_FIRST = [
     # semantics changed in round 5 AFTER their green driver row
     "events_sessionize_ids",
@@ -147,6 +148,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round35,
         round36,
         round37,
+        round38,
         scale,
         tpch2,
         training,
@@ -196,6 +198,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round35,
         round36,
         round37,
+        round38,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
