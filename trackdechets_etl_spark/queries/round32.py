@@ -91,16 +91,30 @@ def _multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    ba = bits.select(F.col("doc_id").alias("id_a"), F.col("bits").alias("bits_a"))
-    bb = bits.select(F.col("doc_id").alias("id_b"), F.col("bits").alias("bits_b"))
-    hamming = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_N_PX)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.col("bits_a").substr(i, F.lit(1)) != F.col("bits_b").substr(i, F.lit(1)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+    # hamming via per-band integer XOR popcount: each 16-bit band
+    # parses once per IMAGE (conv base-2), then every candidate PAIR
+    # costs 4 xor+bit_count ops instead of a 64-step substring fold —
+    # same result, and the per-pair work is pure integer codegen.
+    words = bits.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("bits", i * _BAND_W + 1, _BAND_W), 2, 10)
+            .cast("long")
+            .alias(f"w{i}")
+            for i in range(_N_BANDS)
+        ],
+    )
+    ba = words.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"w{i}").alias(f"wa{i}") for i in range(_N_BANDS)],
+    )
+    bb = words.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"w{i}").alias(f"wb{i}") for i in range(_N_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"wa{i}").bitwiseXOR(F.col(f"wb{i}")))
+        for i in range(_N_BANDS)
     )
     return (
         cand.join(ba, "id_a")
@@ -113,13 +127,19 @@ def _multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IMAGE_PHASH_SQL = f"""
 WITH img AS (
-    SELECT doc_id, substring(text, 1, {_N_PX}) AS px
+    -- byte-based, NOT char-based: the Spark kernel reads the first
+    -- {_N_PX} raw UTF-8 BYTES, so the oracle extracts byte i as the
+    -- i-th hex pair of hex(encode(text)) — identical on non-ASCII
+    -- text where ascii(char-substring) would diverge (ADVICE r6).
+    SELECT doc_id, hex(encode(text)) AS hx
     FROM documents
     WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= {_N_PX}),
 pos AS (
-    SELECT doc_id, px, unnest(generate_series(1, {_N_PX})) AS i FROM img),
+    SELECT doc_id, hx, unnest(generate_series(1, {_N_PX})) AS i FROM img),
 pxv AS (
-    SELECT doc_id, i, ascii(substring(px, CAST(i AS INT), 1)) AS b FROM pos),
+    SELECT doc_id, i,
+           ('0x' || substring(hx, CAST(2 * i - 1 AS INT), 2))::INT AS b
+    FROM pos),
 tot AS (SELECT doc_id, sum(b) AS s FROM pxv GROUP BY doc_id),
 bits AS (
     SELECT p.doc_id,

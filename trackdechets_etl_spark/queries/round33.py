@@ -54,9 +54,19 @@ _DECILES = 10
 def _events_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user first-event and first-purchase timestamps (ONE
     aggregation computes both via a conditional min), latency in whole
-    seconds, then an ntile decile profile of converters. The decile
-    frame is 10 rows whatever the scale; integer epoch math keeps both
-    engines exact."""
+    seconds, then a decile profile of converters.
+
+    The decile step NEVER windows over the per-user frame: converters
+    are first reduced to one row per DISTINCT latency second
+    (|distinct seconds| is bounded by the observation span regardless
+    of user count), the cumulative-count window runs over that small
+    frame, and each decile's row range comes from the closed-form
+    ntile split (q = N div 10, r = N mod 10; bucket d covers rows
+    [(d-1)q + min(d-1, r) + 1, dq + min(d, r)]). Per-decile count is
+    fixed by N; min/max latency are the values whose cumulative row
+    ranges overlap the bucket — bit-identical to ntile, because ties
+    straddling a boundary contribute the same value to both buckets.
+    Integer epoch math keeps both engines exact."""
     ev = read_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
@@ -77,12 +87,42 @@ def _events_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("latency_s", "user_id")
+    vals = lat.groupBy("latency_s").agg(F.count(F.lit(1)).alias("c"))
+    # Unpartitioned window is deliberate and safe HERE: the child is
+    # the distinct-latency frame, not the converters frame.
+    wv = Window.orderBy("latency_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.withColumn("cum", F.sum("c").over(wv)).withColumn(
+        "row_lo", F.col("cum") - F.col("c") + 1
+    )
+    n_total = lat.agg(F.count(F.lit(1)).alias("n_total"))
+    bounds = (
+        spark.range(1, _DECILES + 1)
+        .select(F.col("id").alias("decile"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "decile",
+            (
+                (F.col("decile") - 1) * F.expr(f"n_total div {_DECILES}")
+                + F.least(F.col("decile") - 1, F.col("n_total") % _DECILES)
+                + 1
+            ).alias("lo"),
+            (
+                F.col("decile") * F.expr(f"n_total div {_DECILES}")
+                + F.least(F.col("decile"), F.col("n_total") % _DECILES)
+            ).alias("hi"),
+        )
+        .filter(F.col("hi") >= F.col("lo"))
+    )
+    joined = cum.join(
+        F.broadcast(bounds),
+        (F.col("row_lo") <= F.col("hi")) & (F.col("cum") >= F.col("lo")),
+    )
     return (
-        lat.withColumn("decile", F.ntile(_DECILES).over(w))
-        .groupBy("decile")
+        joined.groupBy("decile")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (F.first("hi") - F.first("lo") + 1).cast("long").alias("n_users"),
             F.min("latency_s").alias("min_latency_s"),
             F.max("latency_s").alias("max_latency_s"),
         )

@@ -54,8 +54,12 @@ def _text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_docs = d.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    # scalar corpus stats stay LAZY: 1-row aggregates broadcast-cross-
+    # joined in (repo convention, round4.py RFM anchor) instead of
+    # count()/collect(), so no eager job runs before the returned
+    # frame's own action.
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    ad = dl.agg(F.avg("dl").alias("avgdl"))
 
     qrows = [
         (qname, term) for qname, terms in _BM25_QUERIES.items() for term in terms
@@ -67,17 +71,17 @@ def _text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    idf = dfreq.select(
+    idf = dfreq.crossJoin(F.broadcast(nd)).select(
         "term",
         F.log(
-            1.0
-            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
     scored = (
         tc.join(F.broadcast(q), "term")
         .join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(ad))
         .select(
             "query",
             "doc_id",
@@ -91,7 +95,7 @@ def _text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (
                         1.0
                         - _BM25_B
-                        + _BM25_B * F.col("dl") / F.lit(float(avgdl))
+                        + _BM25_B * F.col("dl") / F.col("avgdl")
                     )
                 )
             ).alias("s"),
