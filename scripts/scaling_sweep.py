@@ -83,7 +83,9 @@ def main() -> None:
         }
         for name, t in times.items()
     }
-    with open("scripts/scaling_sweep.json", "w") as f:
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scaling_sweep.json")
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
 
     ranked = sorted(

@@ -339,3 +339,62 @@ def test_khop_anti_join_present(spark):
     against the visited set."""
     plan = _plan(REGISTRY["graph_khop_reach"].fn(spark, SF_DIR))
     assert "LeftAnti" in plan, "visited-set anti-join missing"
+
+
+# Queries allowed to run a window over a SinglePartition child — each
+# must have a reason the single task's input is BOUNDED (aggregate- or
+# top-k-limited, never fact-scale). Everything else in the registry is
+# machine-checked to zero such windows; add here ONLY with a bound.
+_SINGLE_PARTITION_WINDOW_OK = {
+    # top-k: the TakeOrderedAndProject below the window caps the single
+    # task's input at k rows total (pinned below).
+    "agg_top_customers",
+    # rank over the distinct-token vocabulary frame — vocab-sized.
+    "text_zipf_fit",
+}
+
+
+def _single_partition_windows(df) -> list[str]:
+    plan = df._jdf.queryExecution().sparkPlan()
+    hits: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowGroupLimitExec"):
+            if "SinglePartition" in node.child().outputPartitioning().toString():
+                hits.append(name)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbounded_single_partition_window(name, spark):
+    """The registry-wide guard against the worst window scale hazard:
+    a Window whose child exchange is SinglePartition moves its whole
+    input frame to ONE task. Allowed only for frames with a proven
+    bound (allowlist above); everything else must partition the window
+    or decompose it (distinct-value cumulative trick, ranking.py's
+    range-partitioned global rank)."""
+    hits = _single_partition_windows(REGISTRY[name].fn(spark, SF_DIR))
+    if name in _SINGLE_PARTITION_WINDOW_OK:
+        return
+    assert not hits, (
+        f"{name}: window over SinglePartition exchange ({hits}) — "
+        "partition the window, decompose it, or justify an allowlist "
+        "entry with a size bound"
+    )
+
+
+def test_top_customers_single_partition_input_is_group_limited(spark):
+    """The allowlist bound for agg_top_customers: a
+    TakeOrderedAndProject (per-partition heaps, global k-row cap) must
+    feed the single-partition rank window, so the one task only ever
+    sees k rows."""
+    plan = _plan(REGISTRY["agg_top_customers"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, (
+        "top-k lost its TakeOrderedAndProject cap — the "
+        "single-partition window input is no longer bounded"
+    )

@@ -31,7 +31,12 @@ def test_transform_with_state_equals_batch(spark, tmp_path):
     transformWithState's Python state-server protocol needs
     ``google.protobuf``, which this container does not ship — the op
     is gated the same way as the real media codecs (environment skip,
-    logic intact for any protobuf-equipped deployment)."""
+    logic intact for any protobuf-equipped deployment). Vendoring was
+    attempted and is impossible here: the container has no network
+    (pip download fails name resolution) and no protobuf wheel is
+    baked in, so the end-to-end path runs only on deployments that
+    ship protobuf; the processor logic itself is unit-replayed
+    below."""
     import pytest
 
     try:

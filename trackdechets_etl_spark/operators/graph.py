@@ -122,13 +122,23 @@ def connected_components(
     # Convergence signature must work for ANY orderable node-id type
     # (plain F.sum("label") breaks on string ids): labels only ever
     # decrease, so "converged" is exactly "label multiset unchanged",
-    # which the sum of per-row xxhash64 detects for any type. The sum
-    # accumulates in decimal(38,0) — full-range int64 hashes would
-    # overflow an ANSI long sum.
+    # which the sum of per-row xxhash64 detects for any type. The sums
+    # accumulate in decimal(38,0) — full-range int64 hashes would
+    # overflow an ANSI long sum. This check is PROBABILISTIC (unlike
+    # the numeric-label sum it replaced, which was provably sound for
+    # monotone labels): a hash-sum collision while labels still change
+    # would stop the loop early. Two independently-salted 64-bit sums
+    # in the SAME aggregation (no extra job) push the per-round
+    # collision odds to ~2^-128 — below any hardware error rate.
     def _label_sig(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.xxhash64(F.col("label").cast("string")).cast("decimal(38,0)"))
-        ).first()[0]
+        h = F.xxhash64(F.col("label").cast("string"))
+        h2 = F.xxhash64(F.lit(0x9E3779B9), F.col("label").cast("string"))
+        return tuple(
+            frame.agg(
+                F.sum(h.cast("decimal(38,0)")),
+                F.sum(h2.cast("decimal(38,0)")),
+            ).first()
+        )
 
     prev_sum = _label_sig(labels)
     converged = False

@@ -28,82 +28,82 @@ class QuerySpec:
 # round (observed: CORRECTNESS_r01.json covers exactly keys 0-49).
 # Rotate queries that have not yet produced a green driver check to the
 # front, so successive rounds accumulate verified coverage of the whole
-# registry. Cumulative through r5: 195/235 entries have a driver row
-# (193 full hash-pass + 2 rows-only by design; zero failures ever).
-# The round-6 front below holds the 46 entries without a CURRENT green
-# row — the 5 whose semantics changed in round 5 after their green row
-# (ADVICE fixes + plan restructures), then the 40 round-5 additions
-# past that round's window (round9.py-round30.py), then orders_gini
-# (green r5, but its rank-weighted sum was widened to decimal(38,0)
-# this round per ADVICE r5) — plus the new round-6 additions up to the
-# 50-slot cap. All were re-verified locally by scripts/selfcheck at
-# the driver's own sf0.01 scale before this rotation.
+# registry. Cumulative through r6: 237/256 entries have a driver row
+# (zero failures ever).
+# The round-7 front below = (a) the 17 round-6 post-window additions
+# (round32.py-round38.py, never driver-checked), (b) the 4 entries
+# whose plans changed AFTER their green row (tfidf/ngram-pair eager
+# materialization 1ad0222 + graph fast-path schema 7ad92c5), (c) the
+# 3 entries restructured THIS round (zero-scale quantize guard;
+# RFM quartiles and token-budget curation converted off their global
+# single-partition windows, VERDICT r6 ask #3), then (d) oldest-green
+# round-1 entries filling the remaining 26 slots so no green row stays
+# six rounds stale. All 50 re-verified by the full sf0.01 drive before
+# this rotation.
 #
-# Post-window queue for the ROUND-7 rotation (added after the r6
-# window filled; selfchecked at sf0.01): round32.py:
-# multimodal_image_phash, orders_reorder_rate, text_hashing_trick;
-# round33.py: events_user_type_profile, events_time_to_first_purchase;
-# round34.py: sim_matryoshka_recall, dataset_card_stats,
-# graph_degree_histogram; round35.py: lineitem_encoding_advisor,
-# embedding_centroid_drift, orders_join_size_estimate; round36.py:
-# embedding_quantile_normalize, dedup_minhash_calibration;
-# round37.py: orders_seasonal_naive_backtest, dq_null_cardinality_matrix;
-# round38.py: text_bm25_topk, events_burst_profile.
+# Post-window queue for the ROUND-8 rotation: remaining round-1-green
+# entries not in this window (pipeline_rubriques_chain onward:
+# pipeline_open_data, text_token_counts, text_quality_score,
+# text_lang_id, text_fingerprint, dedup_exact,
+# dedup_exact_fingerprint, dedup_minhash_lsh, dedup_simhash,
+# dedup_simhash_pairs, dedup_embedding_cosine, sim_topk_bruteforce,
+# sim_lsh_bucket_topk, events_set_ops, events_pivot_counts), then
+# oldest r3 greens, then any round-7 additions (round39.py+).
 _VERIFY_FIRST = [
-    # semantics changed in round 5 AFTER their green driver row
-    "events_sessionize_ids",
-    "tpch_q11_important_stock",
-    "orders_market_basket",
-    "pipeline_training_data",
-    "pipeline_siretisation_stats",
-    # round-5 additions past that round's 50-slot window
-    "events_attribution",
-    "graph_khop_reach",
-    "linkage_blocking_score",
-    "dedup_semantic_prune",
-    "events_seasonal_dow",
-    "orders_backlog_aging",
-    "events_uplift_cuped",
-    "training_curriculum_order",
-    "text_bigram_lm_score",
-    "events_concurrency_peak",
-    "events_bounce_rate",
-    "graph_neighbor_mode",
-    "dq_profile_drift",
-    "orders_survival_km",
-    "orders_basket_lift",
-    "graph_jaccard_neighbors",
-    "text_langid_eval",
-    "events_srm_check",
-    "text_js_divergence",
-    "orders_abc_class",
-    "layout_file_skipping",
-    "text_char_entropy",
-    "agg_mad_robust",
-    "orders_seasonality_index",
-    "multimodal_audio_frames",
-    "dedup_minhash_recall",
-    "orders_customer_migration",
-    "ml_kmeans_lite",
-    "pipeline_rag_index",
-    "events_debounced_alerts",
-    "sketch_bloom_fpr",
-    "events_dau_wau_stickiness",
-    "multimodal_video_cuts",
-    "supplier_share_hhi",
-    "lineitem_discount_uplift",
-    "events_error_budget_burn",
-    "text_ngram_novelty",
-    "events_inter_arrival_burstiness",
-    "join_asof_tolerance",
-    "events_user_streaks",
-    # expression widened this round (ADVICE r5: decimal accumulation)
-    "orders_gini",
-    # new in round 6 (round31.py)
-    "events_running_totals_final",
+    # (a) round-6 post-window additions — first driver check
+    "multimodal_image_phash",
+    "orders_reorder_rate",
+    "text_hashing_trick",
+    "events_user_type_profile",
+    "events_time_to_first_purchase",
+    "sim_matryoshka_recall",
+    "dataset_card_stats",
+    "graph_degree_histogram",
+    "lineitem_encoding_advisor",
+    "embedding_centroid_drift",
+    "orders_join_size_estimate",
+    "embedding_quantile_normalize",
+    "dedup_minhash_calibration",
+    "orders_seasonal_naive_backtest",
+    "dq_null_cardinality_matrix",
+    "text_bm25_topk",
+    "events_burst_profile",
+    # (b) plans changed after their green row (stale-green refresh)
+    "dedup_ngram_jaccard",
+    "text_tfidf_topk",
+    "dedup_clusters",
+    "pipeline_corpus_clean",
+    # (c) restructured this round
     "embedding_quantize_int8",
-    "lineitem_linenumber_bitmap",
-    "join_bloom_prefilter",
+    "events_rfm_segments",
+    "select_quality_budget",
+    # (d) oldest-green (round 1) refresh, registry order
+    "agg_top_customers",
+    "agg_revenue_rollup",
+    "flagship_revenue_by_region",
+    "agg_supplier_balance",
+    "projection_drop",
+    "filter_valid_siret",
+    "filter_null_or_short",
+    "filter_prefix_inlist",
+    "scalar_concat_null_default",
+    "scalar_regex_extract",
+    "scalar_prefix_zero",
+    "scalar_backfill_invalid",
+    "scalar_conditional_overwrite",
+    "scalar_dict_decode",
+    "scalar_cast_date",
+    "join_left_enrich",
+    "join_name_fanout",
+    "join_inner_rubriques",
+    "join_existence_flag",
+    "agg_keep_last_by_year",
+    "agg_dedup_first_by_key",
+    "agg_distinct_counts",
+    "agg_row_counts",
+    "agg_coverage_stats",
+    "pipeline_siretisation_stats_pre",
+    "pipeline_siretisation_enriched",
 ]
 
 

@@ -86,11 +86,21 @@ def _embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resolution would bind the error expression's F.col("scale") to
     # the ROUNDED output alias instead of the raw value (measured: a
     # 4e-3 relative error drift vs the oracle).
+    # Zero-scale guard (ADVICE r6): an all-zero embedding makes
+    # scale = 0, where Spark and DuckDB disagree on double division by
+    # zero — both sides define codes as 0 in that case (the exact
+    # quantization of a zero vector), so one degenerate row can't flip
+    # the hash.
     q = e.select(
         "vec_id",
         v.alias("v"),
         scale.alias("raw_scale"),
-        F.transform(v, lambda x: F.round(x / scale).cast("long")).alias("codes"),
+        F.transform(
+            v,
+            lambda x: F.when(scale == 0, F.lit(0.0))
+            .otherwise(F.round(x / scale))
+            .cast("long"),
+        ).alias("codes"),
     )
     abs_err_sum = F.aggregate(
         F.zip_with(
@@ -117,7 +127,9 @@ q AS (
     FROM e),
 c AS (
     SELECT vec_id, v, scale,
-           list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT)) AS codes
+           list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                       ELSE CAST(round(x / scale, 0) AS BIGINT)
+                                  END) AS codes
     FROM q)
 SELECT vec_id,
        round(scale, 6) AS scale,

@@ -48,22 +48,22 @@ def _lineitem_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     n_rows = F.count(F.lit(1))
     for c in _ENC_COLS:
-        w = Window.partitionBy("l_orderkey").orderBy(
-            "l_linenumber", F.col(c).cast("string")
-        )
+        # order and compare on the RAW column value (ADVICE r6): the
+        # tie-break is load-bearing (synthetic lineitem repeats
+        # (l_orderkey, l_linenumber) pairs) and double-to-string
+        # rendering is not engine-stable, while numeric/varchar
+        # comparison of identical values is exact on both engines.
+        w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", c)
         runs = li.select(
             "l_orderkey",
             F.when(
-                F.lag(F.col(c).cast("string")).over(w).isNull()
-                | (
-                    F.col(c).cast("string")
-                    != F.lag(F.col(c).cast("string")).over(w)
-                ),
+                F.lag(F.col(c)).over(w).isNull()
+                | (F.col(c) != F.lag(F.col(c)).over(w)),
                 1,
             )
             .otherwise(0)
             .alias("__new_run"),
-            F.col(c).cast("string").alias("__v"),
+            F.col(c).alias("__v"),
         )
         parts.append(
             runs.agg(
@@ -92,13 +92,13 @@ SELECT '{c}' AS "column",
        round(count(*) / sum(new_run), 6) AS avg_run_len,
        round(count(DISTINCT v) / count(*), 6) AS distinct_ratio
 FROM (
-    SELECT CAST({c} AS VARCHAR) AS v,
-           CASE WHEN lag(CAST({c} AS VARCHAR)) OVER (
+    SELECT {c} AS v,
+           CASE WHEN lag({c}) OVER (
                     PARTITION BY l_orderkey
-                    ORDER BY l_linenumber, CAST({c} AS VARCHAR)) IS NULL
-                  OR CAST({c} AS VARCHAR) != lag(CAST({c} AS VARCHAR)) OVER (
+                    ORDER BY l_linenumber, {c}) IS NULL
+                  OR {c} != lag({c}) OVER (
                     PARTITION BY l_orderkey
-                    ORDER BY l_linenumber, CAST({c} AS VARCHAR))
+                    ORDER BY l_linenumber, {c})
                 THEN 1 ELSE 0 END AS new_run
     FROM lineitem)"""
 

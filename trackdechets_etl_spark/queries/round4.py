@@ -265,11 +265,17 @@ GROUP BY doc_id
 def _events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM user segmentation: recency (days since last event, vs the
     corpus max), frequency (event count), monetary (value sum), each
-    quartiled with ntile(4) under a deterministic total order
-    (metric, then user_id). Per-user rollup is one shuffle; the three
-    ntile windows run over the (small) per-user frame. At 100 TB the
-    per-user frame is ~users-sized — if even that is too big for one
-    window partition, swap ntile for approx-percentile bucketing."""
+    quartiled under a deterministic total order (metric, then
+    user_id). Quartiles are bit-identical to ntile(4) but computed
+    scale-safe: an exact distributed global rank (range repartition +
+    per-partition row_number + partition-count-sized offsets,
+    operators/ranking.py) fed to the closed-form ntile split — no
+    unpartitioned window ever touches the users-scale frame."""
+    from trackdechets_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     ev = read_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max(F.to_date("ts")).alias("last_day"),
@@ -277,21 +283,37 @@ def _events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("monetary"),
     )
     anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor_day"))
-    base = per_user.crossJoin(F.broadcast(anchor)).withColumn(
-        "recency_days",
-        F.datediff(F.col("anchor_day"), F.col("last_day")).cast("long"),
+    base = (
+        per_user.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("anchor_day"), F.col("last_day")).cast("long"),
+        )
+        # feeds the n_total aggregate plus three rank pipelines
+        .localCheckpoint(eager=False)
     )
-    wr = Window.orderBy("recency_days", "user_id")
-    wf = Window.orderBy(F.desc("frequency"), "user_id")
-    wm = Window.orderBy(F.desc("monetary"), "user_id")
-    return base.select(
+    n_total = base.agg(F.count(F.lit(1)).alias("n_total"))
+    orders = {
+        "r": [F.col("recency_days").asc(), F.col("user_id").asc()],
+        "f": [F.col("frequency").desc(), F.col("user_id").asc()],
+        "m": [F.col("monetary").desc(), F.col("user_id").asc()],
+    }
+    out = base
+    for key, order_cols in orders.items():
+        ranked = global_row_number(
+            base.select("user_id", "recency_days", "frequency", "monetary"),
+            order_cols,
+            f"{key}_rank",
+        ).select("user_id", f"{key}_rank")
+        out = out.join(ranked, "user_id")
+    return out.crossJoin(F.broadcast(n_total)).select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
-        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
-        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+        ntile_from_rank(F.col("r_rank"), F.col("n_total"), 4).alias("r_quartile"),
+        ntile_from_rank(F.col("f_rank"), F.col("n_total"), 4).alias("f_quartile"),
+        ntile_from_rank(F.col("m_rank"), F.col("n_total"), 4).alias("m_quartile"),
     )
 
 

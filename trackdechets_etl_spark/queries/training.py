@@ -301,10 +301,15 @@ def _select_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget curation: take docs in (quality desc, doc_id)
     order while the running token total stays within budget.
 
-    The global ordered window is exact-greedy and fine up to millions of
-    docs; at 100 TB the same semantics runs as two passes — a quality
-    histogram to locate the cutoff score, then a filter (+ one small
-    sort inside the boundary bucket) — documented in docs/SCALE.md."""
+    Two-pass, no global window (the docs/SCALE.md form, now the code):
+    the global (score desc, doc_id) prefix sum decomposes exactly into
+    a per-DISTINCT-score base offset (cumulative window over the
+    score-histogram frame — 4dp-rounded scores, so its size is bounded
+    by the score grid, not the corpus) plus a within-score prefix sum
+    (window PARTITIONED by score). Score buckets whose base offset
+    already exceeds the budget are pruned before the row-scale window
+    runs — at 100 TB almost the whole corpus drops before the only
+    per-doc shuffle."""
     d = read_table(spark, sf_dir, "documents")
     score = TX.quality_features(F.col("text"))["quality_score"]
     t = d.select(
@@ -312,12 +317,25 @@ def _select_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         TX.n_tokens_ws(F.col("text")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per_score = t.groupBy("quality_score").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    wb = Window.orderBy(F.col("quality_score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = per_score.select(
+        "quality_score",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias("base_tokens"),
+    ).filter(F.col("base_tokens") <= TOKEN_BUDGET)
+    wd = Window.partitionBy("quality_score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     return (
-        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        t.join(F.broadcast(base), "quality_score")
+        .withColumn(
+            "cum_tokens",
+            (F.col("base_tokens") + F.sum("n_tokens").over(wd)).cast("long"),
+        )
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("doc_id", "quality_score", "n_tokens", "cum_tokens")
     )
