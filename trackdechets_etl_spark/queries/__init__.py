@@ -149,6 +149,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round36,
         round37,
         round38,
+        round39,
         scale,
         tpch2,
         training,
@@ -199,6 +200,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round36,
         round37,
         round38,
+        round39,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
