@@ -150,6 +150,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round37,
         round38,
         round39,
+        round40,
         scale,
         tpch2,
         training,
@@ -201,6 +202,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round37,
         round38,
         round39,
+        round40,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
