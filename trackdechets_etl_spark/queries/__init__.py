@@ -151,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round38,
         round39,
         round40,
+        round41,
         scale,
         tpch2,
         training,
@@ -203,6 +204,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round38,
         round39,
         round40,
+        round41,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
