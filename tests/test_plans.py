@@ -351,18 +351,54 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "agg_top_customers",
     # rank over the distinct-token vocabulary frame — vocab-sized.
     "text_zipf_fit",
+    # windows over the 9-row first-digit frame.
+    "dq_benford_digits",
+    # chi-square marginals over the event_type x cohort cells frame.
+    "events_chisq",
+    # daily-frame cumulative budget line (days-sized).
+    "events_error_budget_burn",
+    # hour-spine resample frames (hours x types).
+    "events_gap_ffill",
+    "events_gap_interpolate",
+    # running distinct over the per-day first-seen frame (days-sized).
+    "events_running_distinct",
+    # cumulative counts over the DISTINCT-latency-seconds frame
+    # (bounded by the observation span, round33 decomposition).
+    "events_time_to_first_purchase",
+    # running sum over the file-manifest frame (metadata-sized).
+    "layout_compaction_bins",
+    # ABC classification over the |parts| catalog frame (dimension).
+    "orders_abc_class",
+    # Kaplan-Meier over the distinct-duration frame.
+    "orders_survival_km",
+    # skyline cummax over the |parts| catalog frame (dimension).
+    "parts_skyline_2d",
+    # per-distinct-score base offsets (score histogram, 4dp grid).
+    "select_quality_budget",
+    # per-supplier revenue aggregate (dimension-sized, Q15 contract).
+    "tpch_q15_top_supplier",
 }
 
 
-def _single_partition_windows(df) -> list[str]:
-    plan = df._jdf.queryExecution().sparkPlan()
+def _single_partition_windows(df, spark) -> list[str]:
+    # executedPlan AFTER EnsureRequirements (sparkPlan() predates
+    # exchange insertion — every outputPartitioning is Unknown there
+    # and the check would be vacuous); AQE is disabled around the
+    # plan build so exchanges are concrete nodes, not stage wrappers.
+    plan = df._jdf.queryExecution().executedPlan()
     hits: list[str] = []
 
     def walk(node):
         name = node.getClass().getSimpleName()
         if name in ("WindowExec", "WindowGroupLimitExec"):
             if "SinglePartition" in node.child().outputPartitioning().toString():
-                hits.append(name)
+                out = str(node.output())
+                # ranking.py's internal offset windows run over the
+                # partition-count-sized frame — bounded by cluster
+                # config, exempt by construction (pinned in
+                # tests/test_ranking.py).
+                if "__gr_" not in out:
+                    hits.append(name)
         for i in range(node.children().size()):
             walk(node.children().apply(i))
 
@@ -377,8 +413,13 @@ def test_no_unbounded_single_partition_window(name, spark):
     input frame to ONE task. Allowed only for frames with a proven
     bound (allowlist above); everything else must partition the window
     or decompose it (distinct-value cumulative trick, ranking.py's
-    range-partitioned global rank)."""
-    hits = _single_partition_windows(REGISTRY[name].fn(spark, SF_DIR))
+    range-partitioned global rank / prefix scan)."""
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        hits = _single_partition_windows(REGISTRY[name].fn(spark, SF_DIR), spark)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
     if name in _SINGLE_PARTITION_WINDOW_OK:
         return
     assert not hits, (

@@ -37,6 +37,7 @@ def global_row_number(
     order_cols: list[Column],
     rank_col: str = "rank",
     num_partitions: int | None = None,
+    sum_of: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Exact 1-based global row_number under ``order_cols`` (must be a
     total order — include a unique tiebreaker) without a
@@ -49,6 +50,13 @@ def global_row_number(
     localCheckpoint-ed because it feeds two consumers (the ranked rows
     and the offset counts) whose range boundaries must be sampled
     exactly once.
+
+    ``sum_of=(value_col, out_col)`` additionally emits the exact
+    inclusive global prefix sum of ``value_col`` under the same order,
+    riding the SAME windows and offset frame (no extra exchange).
+    Pass an INTEGER-typed column: integer addition is associative, so
+    the decomposed sum is bit-identical to the single-partition
+    window's; a double column would expose association order.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -60,17 +68,73 @@ def global_row_number(
     )
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     local = rp.withColumn(_LRN, F.row_number().over(w))
-    sizes = rp.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_n"))
+    size_aggs = [F.count(F.lit(1)).alias("__gr_n")]
+    if sum_of is not None:
+        value_col, sum_out = sum_of
+        local = local.withColumn(
+            "__gr_ls",
+            F.sum(value_col).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        size_aggs.append(F.sum(value_col).alias("__gr_vt"))
+    sizes = rp.groupBy(_PID).agg(*size_aggs)
     # one row per partition: the cumulative window's input is bounded
     # by cluster config, never by data volume.
     wc = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select(
-        _PID, F.coalesce(F.sum("__gr_n").over(wc), F.lit(0)).alias(_OFF)
-    )
-    return (
+    off_cols = [
+        F.col(_PID),
+        F.coalesce(F.sum("__gr_n").over(wc), F.lit(0)).alias(_OFF),
+    ]
+    if sum_of is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__gr_vt").over(wc), F.lit(0)).alias("__gr_voff")
+        )
+    offsets = sizes.select(*off_cols)
+    out = (
         local.join(F.broadcast(offsets), _PID)
         .withColumn(rank_col, (F.col(_OFF) + F.col(_LRN)).cast("long"))
-        .drop(_PID, _LRN, _OFF)
+    )
+    if sum_of is not None:
+        out = out.withColumn(
+            sum_of[1], (F.col("__gr_voff") + F.col("__gr_ls")).cast("long")
+        ).drop("__gr_ls", "__gr_voff")
+    return out.drop(_PID, _LRN, _OFF)
+
+
+def global_prefix_max_exclusive(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running max of ``value_col`` over all STRICTLY
+    preceding rows under ``order_cols`` (NULL for the first row) —
+    the watermark shape — with the same range-partitioned
+    decomposition as :func:`global_row_number`. Max is associative and
+    commutative, so the split is exact for any orderable type."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    rp = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = rp.withColumn("__gr_lm", F.max(value_col).over(w))
+    totals = rp.groupBy(_PID).agg(F.max(value_col).alias("__gr_t"))
+    wc = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(_PID, F.max("__gr_t").over(wc).alias("__gr_moff"))
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        # greatest() skips NULLs (both engines): first row of first
+        # partition stays NULL, matching the single-partition window.
+        .withColumn(out_col, F.greatest("__gr_moff", "__gr_lm"))
+        .drop(_PID, "__gr_lm", "__gr_moff")
     )
 
 

@@ -41,14 +41,22 @@ class QuerySpec:
 # six rounds stale. All 50 re-verified by the full sf0.01 drive before
 # this rotation.
 #
-# Post-window queue for the ROUND-8 rotation: remaining round-1-green
-# entries not in this window (pipeline_rubriques_chain onward:
+# Post-window queue for the ROUND-8 rotation: (1) the round-7
+# post-window additions round39.py-round41.py (orders_price_global_rank,
+# layout_zorder_key, linkage_edit_distance_join, dq_k_anonymity,
+# events_rolling_7d_active_users, sketch_cms_heavy_hitters,
+# orders_cohort_ltv_curve, orders_similar_payments,
+# text_bpe_learn_merges, orders_mix_shift_decomposition,
+# events_sessionize_capped, embedding_label_noise_knn — all selfchecked
+# at sf0.01); (2) remaining round-1-green entries
+# (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
+# agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
+# pipeline_siretisation_enriched, pipeline_rubriques_chain,
 # pipeline_open_data, text_token_counts, text_quality_score,
-# text_lang_id, text_fingerprint, dedup_exact,
-# dedup_exact_fingerprint, dedup_minhash_lsh, dedup_simhash,
-# dedup_simhash_pairs, dedup_embedding_cosine, sim_topk_bruteforce,
-# sim_lsh_bucket_topk, events_set_ops, events_pivot_counts), then
-# oldest r3 greens, then any round-7 additions (round39.py+).
+# text_lang_id, text_fingerprint, dedup_exact, dedup_exact_fingerprint,
+# dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
+# dedup_embedding_cosine, sim_topk_bruteforce, sim_lsh_bucket_topk,
+# events_set_ops, events_pivot_counts); (3) oldest r3 greens.
 _VERIFY_FIRST = [
     # (a) round-6 post-window additions — first driver check
     "multimodal_image_phash",
@@ -97,13 +105,15 @@ _VERIFY_FIRST = [
     "join_name_fanout",
     "join_inner_rubriques",
     "join_existence_flag",
-    "agg_keep_last_by_year",
-    "agg_dedup_first_by_key",
-    "agg_distinct_counts",
-    "agg_row_counts",
-    "agg_coverage_stats",
-    "pipeline_siretisation_stats_pre",
-    "pipeline_siretisation_enriched",
+    # (e) converted off single-partition windows THIS round
+    # (ranking.py global rank / prefix scan — VERDICT r6 ask #3):
+    "orders_gini",
+    "orders_pareto",
+    "training_curriculum_order",
+    "agg_histogram_equidepth",
+    "islands_gaps",
+    "events_concurrency_peak",
+    "events_late_arrivals",
 ]
 
 

@@ -120,26 +120,38 @@ _CURR_PHASES = 4
 
 def _training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning schedule: documents ranked easy→hard by
-    quality score (fully tie-broken by doc_id, so ntile is
+    quality score (fully tie-broken by doc_id, so the split is
     deterministic), cut into quartile phases, with a deterministic
     md5-keyed shuffle rank inside each phase — the order a curriculum
-    trainer streams. The global ntile is the definitional shape; at
-    100 TB the phase boundaries come from approx-percentile cutoffs of
-    the quality score (one pass, no global sort) and the within-phase
-    rank from the md5 key directly."""
+    trainer streams. Phases are bit-identical to the definitional
+    global ntile but computed scale-safe: distributed global rank
+    (operators/ranking.py) + the closed-form ntile split — no
+    single-partition window over the corpus."""
     from trackdechets_etl_spark.llm import text as TX
+    from trackdechets_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
 
     d = read_table(spark, sf_dir, "documents")
     score = TX.quality_features(F.col("text"))["quality_score"]
     scored = d.select("doc_id", "lang", score.alias("quality_score"))
-    w_phase = Window.orderBy(F.desc("quality_score"), F.col("doc_id"))
+    n_total = scored.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = global_row_number(
+        scored, [F.desc("quality_score"), F.col("doc_id").asc()], "__rk"
+    )
     w_rank = Window.partitionBy("phase").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
     return (
-        scored.withColumn(
-            "phase", F.ntile(_CURR_PHASES).over(w_phase).cast("int")
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "phase",
+            ntile_from_rank(F.col("__rk"), F.col("__n"), _CURR_PHASES).cast(
+                "int"
+            ),
         )
+        .drop("__rk", "__n")
         .withColumn("phase_rank", F.row_number().over(w_rank).cast("long"))
         .orderBy("phase", "phase_rank")
     )

@@ -86,22 +86,34 @@ def _events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     points order by (ts, delta, user) — ends before starts at equal
     ts — and the running sum is the live concurrency. Day peaks and
     their first-reaching timestamp fall out of one grouped aggregation
-    over the point frame. The global ordered sum is the definitional
-    shape; at 100 TB the sweep partitions by day after clipping
-    sessions to day boundaries (same points, keyed windows)."""
+    over the point frame. The running sum is the distributed prefix
+    sum (operators/ranking.py: range repartition + within-partition
+    cumsum + partition-count-sized integer offsets) — bit-identical to
+    the definitional ordered window with no single-partition stage;
+    deltas are integers, so the decomposition is exact."""
+    from trackdechets_etl_spark.operators.ranking import global_row_number
+
     sess = _sessions(spark, sf_dir)
     pts = sess.select(
-        F.col("start_ts").alias("ts"), F.lit(1).alias("delta"), "user_id"
+        F.col("start_ts").alias("ts"),
+        F.lit(1).cast("long").alias("delta"),
+        "user_id",
     ).unionByName(
         sess.select(
-            F.col("end_ts").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+            F.col("end_ts").alias("ts"),
+            F.lit(-1).cast("long").alias("delta"),
+            "user_id",
         )
     )
-    w = Window.orderBy("ts", "delta", "user_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = pts.withColumn("conc", F.sum("delta").over(w)).withColumn(
-        "day", F.to_date("ts")
+    cum = (
+        global_row_number(
+            pts,
+            [F.col("ts").asc(), F.col("delta").asc(), F.col("user_id").asc()],
+            "__rn",
+            sum_of=("delta", "conc"),
+        )
+        .drop("__rn")
+        .withColumn("day", F.to_date("ts"))
     )
     wd = Window.partitionBy("day")
     peak = cum.withColumn("day_peak", F.max("conc").over(wd))

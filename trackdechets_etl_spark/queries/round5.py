@@ -156,16 +156,19 @@ def _islands_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders. The classic key − row_number() constant-per-island trick —
     one window + one aggregation, both on the same ordering, so a
     single sort-shuffle."""
+    from trackdechets_etl_spark.operators.ranking import global_row_number
+
     o = (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey")
         .distinct()
     )
-    w = Window.orderBy("o_orderkey")
-    grp = (F.col("o_orderkey") - F.row_number().over(w)).alias("__grp")
+    ranked = global_row_number(o, [F.col("o_orderkey").asc()], "__rn")
     return (
-        o.select("o_orderkey", grp)
+        ranked.select(
+            "o_orderkey", (F.col("o_orderkey") - F.col("__rn")).alias("__grp")
+        )
         .groupBy("__grp")
         .agg(
             F.min("o_orderkey").alias("island_start"),
@@ -555,49 +558,59 @@ FROM counts c JOIN totals t ON c.from_type = t.from_type
 def _orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto): rank customers by revenue desc,
     emit the decile → cumulative-revenue-share curve. Per-customer
-    rollup is one shuffle; the running share is a window over the
-    (customers-sized) aggregate with a deterministic total order."""
+    rollup is one shuffle; rank, decile, AND the running revenue ride
+    ONE range-partitioned scan (operators/ranking.py's fused prefix
+    sum) — no single-partition window over the customers frame.
+    Revenue accumulates in integer cents so the decomposed prefix sum
+    is bit-identical to the definitional ordered window (integer
+    addition is associative; double addition is not)."""
+    from trackdechets_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     o = read_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
     )
-    w = Window.orderBy(F.desc("rev"), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    n_total = per_cust.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("cents").alias("__total")
     )
-    wall = Window.orderBy(F.desc("rev"), "o_custkey")
-    ranked = per_cust.select(
-        "o_custkey",
-        "rev",
-        F.sum("rev").over(w).alias("cum_rev"),
-        F.ntile(10).over(wall).alias("decile"),
+    ranked = global_row_number(
+        per_cust,
+        [F.desc("cents"), F.col("o_custkey").asc()],
+        "__rk",
+        sum_of=("cents", "cum_cents"),
     )
-    total = per_cust.agg(F.sum("rev").alias("__total"))
     return (
-        ranked.crossJoin(F.broadcast(total))
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("decile", ntile_from_rank(F.col("__rk"), F.col("__n"), 10))
         .groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.max(F.col("cum_rev") / F.col("__total")) * 100.0, 4).alias(
-                "cum_rev_pct"
-            ),
+            F.round(
+                F.max(F.col("cum_cents") / F.col("__total")) * 100.0, 4
+            ).alias("cum_rev_pct"),
         )
     )
 
 
 PARETO_SQL = """
 WITH per_cust AS (
-    SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+    SELECT o_custkey,
+           CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS cents
     FROM orders GROUP BY o_custkey),
 ranked AS (
-    SELECT o_custkey, rev,
-           sum(rev) OVER (ORDER BY rev DESC, o_custkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
-           ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+    SELECT o_custkey, cents,
+           CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents,
+           ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
     FROM per_cust)
 SELECT CAST(decile AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(max(cum_rev / (SELECT sum(rev) FROM per_cust)) * 100.0, 4)
-           AS cum_rev_pct
+       round(max(cum_cents / (SELECT CAST(sum(cents) AS DOUBLE)
+                              FROM per_cust)) * 100.0, 4) AS cum_rev_pct
 FROM ranked GROUP BY decile
 """
 

@@ -894,14 +894,26 @@ def _agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins — equi-depth is what optimizers and drift monitors actually
     keep, since it bounds per-bucket error under skew). One global
     sort-window; ties broken by o_orderkey so the bucket boundaries
-    are engine-deterministic. Scale note (same trade as RFM's ntile,
-    docs/SCALE.md): exact equal-count ranks need the global sort; when
-    the input outgrows one partition, swap to approx-percentile
-    BOUNDARY assignment — equi-depth monitoring doesn't need exact
-    ranks, and boundaries are a one-pass mergeable sketch."""
+    are engine-deterministic. Buckets are bit-identical to ntile but
+    computed via the distributed global rank + closed-form split
+    (operators/ranking.py) — the global sort is Spark's
+    range-partitioned machinery, never a single window task."""
+    from trackdechets_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = o.withColumn("bucket", F.ntile(_EQD_BUCKETS).over(w))
+    n_total = o.agg(F.count(F.lit(1)).alias("__n"))
+    b = (
+        global_row_number(
+            o, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()], "__rk"
+        )
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "bucket", ntile_from_rank(F.col("__rk"), F.col("__n"), _EQD_BUCKETS)
+        )
+    )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),

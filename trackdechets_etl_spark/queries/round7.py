@@ -563,12 +563,17 @@ def _orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, one global rank, one scalar: the whole statistic is
     two shuffles of (custkey, int64) pairs. Companion to
     ``orders_pareto``'s concentration curve."""
+    from trackdechets_etl_spark.operators.ranking import global_row_number
+
     o = read_table(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
     )
-    i = F.row_number().over(Window.orderBy("cents", "o_custkey"))
-    ranked = per.select(F.col("cents"), i.alias("i"))
+    # rank via the range-partitioned distributed row_number — the
+    # customers frame never collapses to a single window task.
+    ranked = global_row_number(
+        per, [F.col("cents").asc(), F.col("o_custkey").asc()], "i"
+    ).select("cents", "i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("cents") / 100.0, 2).alias("total_revenue"),

@@ -318,18 +318,24 @@ def _events_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson: never compare engine-specific epoch floats). In production
     the arrival column is the real ingestion sequence and the window
     keys by ingestion partition — the plan is unchanged."""
+    from trackdechets_etl_spark.operators.ranking import (
+        global_prefix_max_exclusive,
+    )
+
     e = read_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     arrival = F.md5(F.col("event_id").cast("string"))
-    e = e.withColumn("__arr", arrival)
-    warr = Window.orderBy("__arr").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    e = e.withColumn("__arr", arrival).withColumn("__us", us)
+    # running max over strictly-preceding arrivals via the distributed
+    # prefix-max (range repartition on arrival order; max is
+    # associative, so the decomposition is exact for any type) — the
+    # watermark simulation never collapses to one window task.
+    wm = global_prefix_max_exclusive(e, [F.col("__arr").asc()], "__us", "__wm")
     lateness = F.greatest(
         F.lit(0).cast("long"),
-        F.coalesce(F.max(us).over(warr) - us, F.lit(0)),
+        F.coalesce(F.col("__wm") - F.col("__us"), F.lit(0)),
     )
-    flagged = e.select(
+    flagged = wm.select(
         "event_type",
         lateness.alias("late_us"),
     )
