@@ -47,8 +47,9 @@ class QuerySpec:
 # events_rolling_7d_active_users, sketch_cms_heavy_hitters,
 # orders_cohort_ltv_curve, orders_similar_payments,
 # text_bpe_learn_merges, orders_mix_shift_decomposition,
-# events_sessionize_capped, embedding_label_noise_knn — all selfchecked
-# at sf0.01); (2) remaining round-1-green entries
+# events_sessionize_capped, embedding_label_noise_knn,
+# text_phrase_search, sim_ndcg_eval, pipeline_gdpr_erasure,
+# dq_referential_integrity — all selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
 # pipeline_siretisation_enriched, pipeline_rubriques_chain,
@@ -162,6 +163,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round39,
         round40,
         round41,
+        round42,
         scale,
         tpch2,
         training,
@@ -215,6 +217,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round39,
         round40,
         round41,
+        round42,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
