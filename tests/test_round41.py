@@ -78,7 +78,14 @@ def test_capped_sessions_partition_events_and_respect_cap(spark):
 def test_label_noise_flags_consistent(spark):
     rows = _q("embedding_label_noise_knn")(spark, SF_DIR).collect()
     e = read_table(spark, SF_DIR, "embeddings")
-    assert len(rows) == e.count()
+    import hashlib
+
+    probe_ids = {
+        r.vec_id
+        for r in e.select("vec_id").collect()
+        if hashlib.md5(str(r.vec_id).encode()).hexdigest()[:2] < "28"
+    }
+    assert {r.vec_id for r in rows} == probe_ids
     for r in rows:
         assert 1 <= r.n_agree <= 5
         assert r.is_noisy == (1 if r.majority_label != r.label else 0)
@@ -91,7 +98,8 @@ def test_label_noise_flags_consistent(spark):
     mat = np.array([r.embedding for r in data], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     got = {r.vec_id: (r.majority_label, r.n_agree) for r in rows}
-    for probe_idx in range(0, len(ids), len(ids) // 10):
+    probe_idxs = [j for j in range(len(ids)) if int(ids[j]) in probe_ids]
+    for probe_idx in probe_idxs[:: max(1, len(probe_idxs) // 10)]:
         pid = int(ids[probe_idx])
         cos = mat @ mat[probe_idx]
         cand = [

@@ -120,3 +120,55 @@ def gap_fill_grid(
         F.coalesce("__n", F.lit(0)).alias("n_events"),
         F.round(F.coalesce("__sum", F.lit(0.0)), 2).alias("sum_value"),
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    payload_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply an ordered CDC change stream to a snapshot — the MERGE
+    ``merge_upsert`` cannot express because it has no delete channel.
+
+    ``changes`` rows carry an operation ('I'nsert / 'U'pdate /
+    'D'elete) and a monotone sequence number. Per key only the LAST
+    change by ``seq_col`` decides (the A1 keep-last discipline —
+    intermediate history is irrelevant to final state): a final D
+    removes the key even if it exists in ``base``; a final I/U upserts
+    its payload. Keys untouched by the stream pass through.
+
+    One keep-last window on the changes (keyed, partition-parallel)
+    plus one full-outer key join; with both sides bucketed by the key
+    the join is shuffle-free — identical scale posture to
+    :func:`merge_upsert`.
+
+    Reference parity: the reference's pipelines are full-refresh only
+    (dags/publish-open-data.py re-reads the world); CDC apply is the
+    incremental path a large deployment needs.
+    """
+    from trackdechets_etl_spark.operators.dedup import keep_last_by
+
+    last = keep_last_by(changes, [key], [seq_col])
+    b = base.select(
+        F.col(key), *[F.col(c).alias(f"__b_{c}") for c in payload_cols]
+    )
+    c = last.select(
+        F.col(key),
+        F.col(op_col).alias("__op"),
+        *[F.col(cc).alias(f"__c_{cc}") for cc in payload_cols],
+    )
+    merged = b.join(c, key, "full_outer")
+    return merged.filter(
+        F.col("__op").isNull() | (F.col("__op") != "D")
+    ).select(
+        F.col(key),
+        *[
+            F.when(F.col("__op").isNotNull(), F.col(f"__c_{cc}"))
+            .otherwise(F.col(f"__b_{cc}"))
+            .alias(cc)
+            for cc in payload_cols
+        ],
+    )

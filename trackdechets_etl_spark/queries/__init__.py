@@ -49,7 +49,8 @@ class QuerySpec:
 # text_bpe_learn_merges, orders_mix_shift_decomposition,
 # events_sessionize_capped, embedding_label_noise_knn,
 # text_phrase_search, sim_ndcg_eval, pipeline_gdpr_erasure,
-# dq_referential_integrity — all selfchecked at sf0.01); (2) remaining round-1-green entries
+# dq_referential_integrity, cdc_apply_orders, supplier_dual_sourcing,
+# sample_systematic_ordered — all selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
 # pipeline_siretisation_enriched, pipeline_rubriques_chain,
@@ -164,6 +165,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round40,
         round41,
         round42,
+        round43,
         scale,
         tpch2,
         training,
@@ -218,6 +220,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round40,
         round41,
         round42,
+        round43,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

