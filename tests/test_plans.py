@@ -375,6 +375,8 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "parts_skyline_2d",
     # per-distinct-score base offsets (score histogram, 4dp grid).
     "select_quality_budget",
+    # cumulative over the distinct-activity-level frame (p95 cutoff).
+    "events_p95_activity_cutoff",
     # per-supplier revenue aggregate (dimension-sized, Q15 contract).
     "tpch_q15_top_supplier",
 }

@@ -50,7 +50,9 @@ class QuerySpec:
 # events_sessionize_capped, embedding_label_noise_knn,
 # text_phrase_search, sim_ndcg_eval, pipeline_gdpr_erasure,
 # dq_referential_integrity, cdc_apply_orders, supplier_dual_sourcing,
-# sample_systematic_ordered — all selfchecked at sf0.01); (2) remaining round-1-green entries
+# sample_systematic_ordered, text_rake_keywords,
+# events_p95_activity_cutoff, graph_label_propagation — all
+# selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
 # pipeline_siretisation_enriched, pipeline_rubriques_chain,
@@ -166,6 +168,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round41,
         round42,
         round43,
+        round44,
         scale,
         tpch2,
         training,
@@ -221,6 +224,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round41,
         round42,
         round43,
+        round44,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
