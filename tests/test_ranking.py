@@ -74,3 +74,40 @@ def test_global_row_number_no_single_partition_window(spark):
         assert "__gr_n" in out or "__gr_off" in out, (
             "row-scale frame reached a single-partition window: " + out
         )
+
+
+def test_prefix_sum_matches_window(spark):
+    from trackdechets_etl_spark.operators.ranking import global_row_number
+
+    df = _frame(spark, 500)
+    order = [F.col("v").asc(), F.col("uid").asc()]
+    ref = df.withColumn(
+        "cs",
+        F.sum("v").over(
+            Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    got = global_row_number(
+        df, order, "rk", num_partitions=8, sum_of=("v", "cs2")
+    )
+    j = ref.join(got.select("uid", "cs2"), "uid")
+    assert j.filter(F.col("cs") != F.col("cs2")).count() == 0
+
+
+def test_prefix_max_exclusive_matches_window(spark):
+    from trackdechets_etl_spark.operators.ranking import (
+        global_prefix_max_exclusive,
+    )
+
+    df = _frame(spark, 500)
+    order = [F.col("uid").asc()]
+    ref = df.withColumn(
+        "pm",
+        F.max("v").over(
+            Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    got = global_prefix_max_exclusive(df, order, "v", "pm2", num_partitions=8)
+    j = ref.join(got.select("uid", "pm2"), "uid")
+    # NULL-safe compare: first row is NULL on both sides
+    assert j.filter(~F.col("pm").eqNullSafe(F.col("pm2"))).count() == 0
