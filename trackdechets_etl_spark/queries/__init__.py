@@ -51,7 +51,8 @@ class QuerySpec:
 # text_phrase_search, sim_ndcg_eval, pipeline_gdpr_erasure,
 # dq_referential_integrity, cdc_apply_orders, supplier_dual_sourcing,
 # sample_systematic_ordered, text_rake_keywords,
-# events_p95_activity_cutoff, graph_label_propagation — all
+# events_p95_activity_cutoff, graph_label_propagation,
+# embedding_mmr_select, events_path_mining_top3 — all
 # selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
@@ -169,6 +170,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round42,
         round43,
         round44,
+        round45,
         scale,
         tpch2,
         training,
@@ -225,6 +227,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round42,
         round43,
         round44,
+        round45,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
