@@ -36,10 +36,11 @@ class QuerySpec:
 # materialization 1ad0222 + graph fast-path schema 7ad92c5), (c) the
 # 3 entries restructured THIS round (zero-scale quantize guard;
 # RFM quartiles and token-budget curation converted off their global
-# single-partition windows, VERDICT r6 ask #3), then (d) oldest-green
-# round-1 entries filling the remaining 26 slots so no green row stays
-# six rounds stale. All 50 re-verified by the full sf0.01 drive before
-# this rotation.
+# single-partition windows, VERDICT r6 ask #3), (d) 19 oldest-green
+# round-1 entries so no green row stays six rounds stale, and (e) the
+# 7 queries converted off unbounded single-partition windows late in
+# the round (ranking.py global rank / prefix scans). All 50
+# re-verified by the full sf0.01 drive before this rotation.
 #
 # Post-window queue for the ROUND-8 rotation: (1) the round-7
 # post-window additions round39.py-round41.py (orders_price_global_rank,
