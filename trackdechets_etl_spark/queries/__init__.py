@@ -53,8 +53,9 @@ class QuerySpec:
 # dq_referential_integrity, cdc_apply_orders, supplier_dual_sourcing,
 # sample_systematic_ordered, text_rake_keywords,
 # events_p95_activity_cutoff, graph_label_propagation,
-# embedding_mmr_select, events_path_mining_top3 — all
-# selfchecked at sf0.01); (2) remaining round-1-green entries
+# embedding_mmr_select, events_path_mining_top3,
+# lineitem_discount_elasticity, embedding_outlier_topk,
+# graph_kcore_peel — all selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
 # pipeline_siretisation_enriched, pipeline_rubriques_chain,
@@ -172,6 +173,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round43,
         round44,
         round45,
+        round46,
         scale,
         tpch2,
         training,
@@ -229,6 +231,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round43,
         round44,
         round45,
+        round46,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
