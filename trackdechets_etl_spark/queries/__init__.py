@@ -55,7 +55,8 @@ class QuerySpec:
 # events_p95_activity_cutoff, graph_label_propagation,
 # embedding_mmr_select, events_path_mining_top3,
 # lineitem_discount_elasticity, embedding_outlier_topk,
-# graph_kcore_peel — all selfchecked at sf0.01); (2) remaining round-1-green entries
+# graph_kcore_peel, lineitem_anova_returnflag,
+# lineitem_ship_delay_percentiles — all selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
 # pipeline_siretisation_enriched, pipeline_rubriques_chain,
@@ -174,6 +175,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round44,
         round45,
         round46,
+        round47,
         scale,
         tpch2,
         training,
@@ -232,6 +234,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round44,
         round45,
         round46,
+        round47,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
