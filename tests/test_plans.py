@@ -377,6 +377,8 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "select_quality_budget",
     # cumulative over the distinct-activity-level frame (p95 cutoff).
     "events_p95_activity_cutoff",
+    # CDF gap over the distinct-cents value frame (two-sample KS).
+    "events_two_sample_ks",
     # per-supplier revenue aggregate (dimension-sized, Q15 contract).
     "tpch_q15_top_supplier",
 }

@@ -150,6 +150,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink — the columnar alternative when the downstream reader
+    is Hive/Trino-first (both engines' native vectorized ORC readers
+    skip stripes on min/max like parquet row groups). Same
+    partition-pruning layout contract as :func:`write_parquet`; the
+    reference has no columnar sink at all (CSV + pickle only,
+    dags/icpe-siretisation.py), so this is pure engine surface."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -56,7 +56,8 @@ class QuerySpec:
 # embedding_mmr_select, events_path_mining_top3,
 # lineitem_discount_elasticity, embedding_outlier_topk,
 # graph_kcore_peel, lineitem_anova_returnflag,
-# lineitem_ship_delay_percentiles — all selfchecked at sf0.01); (2) remaining round-1-green entries
+# lineitem_ship_delay_percentiles, events_two_sample_ks,
+# text_compressibility_proxy — all selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
 # pipeline_siretisation_enriched, pipeline_rubriques_chain,
@@ -176,6 +177,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round45,
         round46,
         round47,
+        round48,
         scale,
         tpch2,
         training,
@@ -235,6 +237,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round45,
         round46,
         round47,
+        round48,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
