@@ -57,7 +57,8 @@ class QuerySpec:
 # lineitem_discount_elasticity, embedding_outlier_topk,
 # graph_kcore_peel, lineitem_anova_returnflag,
 # lineitem_ship_delay_percentiles, events_two_sample_ks,
-# text_compressibility_proxy — all selfchecked at sf0.01); (2) remaining round-1-green entries
+# text_compressibility_proxy, orders_interval_coalesce,
+# lineitem_return_rate_wilson — all selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
 # pipeline_siretisation_enriched, pipeline_rubriques_chain,
@@ -178,6 +179,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round46,
         round47,
         round48,
+        round49,
         scale,
         tpch2,
         training,
@@ -238,6 +240,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round46,
         round47,
         round48,
+        round49,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
