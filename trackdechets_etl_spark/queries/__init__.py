@@ -58,7 +58,8 @@ class QuerySpec:
 # graph_kcore_peel, lineitem_anova_returnflag,
 # lineitem_ship_delay_percentiles, events_two_sample_ks,
 # text_compressibility_proxy, orders_interval_coalesce,
-# lineitem_return_rate_wilson — all selfchecked at sf0.01); (2) remaining round-1-green entries
+# lineitem_return_rate_wilson, lineitem_pearson_corr_matrix — all
+# selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
 # pipeline_siretisation_enriched, pipeline_rubriques_chain,
@@ -180,6 +181,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round47,
         round48,
         round49,
+        round50,
         scale,
         tpch2,
         training,
@@ -241,6 +243,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round47,
         round48,
         round49,
+        round50,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
