@@ -58,7 +58,8 @@ class QuerySpec:
 # graph_kcore_peel, lineitem_anova_returnflag,
 # lineitem_ship_delay_percentiles, events_two_sample_ks,
 # text_compressibility_proxy, orders_interval_coalesce,
-# lineitem_return_rate_wilson, lineitem_pearson_corr_matrix — all
+# lineitem_return_rate_wilson, lineitem_pearson_corr_matrix,
+# events_daily_autocorr, graph_degree_assortativity — all
 # selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
@@ -182,6 +183,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round48,
         round49,
         round50,
+        round51,
         scale,
         tpch2,
         training,
@@ -244,6 +246,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round48,
         round49,
         round50,
+        round51,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
