@@ -42,8 +42,8 @@ class QuerySpec:
 # the round (ranking.py global rank / prefix scans). All 50
 # re-verified by the full sf0.01 drive before this rotation.
 #
-# Post-window queue for the ROUND-8 rotation: (1) the round-7
-# post-window additions round39.py-round41.py (orders_price_global_rank,
+# Post-window queue for the ROUND-8 rotation: (1) the 36 round-7
+# post-window additions round39.py-round51.py (orders_price_global_rank,
 # layout_zorder_key, linkage_edit_distance_join, dq_k_anonymity,
 # events_rolling_7d_active_users, sketch_cms_heavy_hitters,
 # orders_cohort_ltv_curve, orders_similar_payments,
