@@ -379,6 +379,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "events_p95_activity_cutoff",
     # CDF gap over the distinct-cents value frame (two-sample KS).
     "events_two_sample_ks",
+    # average-rank maps over the distinct quantity (50) / discount (11)
+    # value frames — bounded by measure cardinality, same contract as
+    # events_two_sample_ks.
+    "lineitem_spearman_corr",
     # per-supplier revenue aggregate (dimension-sized, Q15 contract).
     "tpch_q15_top_supplier",
 }
