@@ -42,8 +42,8 @@ class QuerySpec:
 # the round (ranking.py global rank / prefix scans). All 50
 # re-verified by the full sf0.01 drive before this rotation.
 #
-# Post-window queue for the ROUND-8 rotation: (1) the 39 round-7
-# post-window additions round39.py-round52.py (orders_price_global_rank,
+# Post-window queue for the ROUND-8 rotation: (1) the 42 round-7
+# post-window additions round39.py-round53.py (orders_price_global_rank,
 # layout_zorder_key, linkage_edit_distance_join, dq_k_anonymity,
 # events_rolling_7d_active_users, sketch_cms_heavy_hitters,
 # orders_cohort_ltv_curve, orders_similar_payments,
@@ -61,7 +61,8 @@ class QuerySpec:
 # lineitem_return_rate_wilson, lineitem_pearson_corr_matrix,
 # events_daily_autocorr, graph_degree_assortativity,
 # graph_clustering_coefficient, text_pmi_bigrams,
-# lineitem_spearman_corr — all
+# lineitem_spearman_corr, lineitem_chi2_independence,
+# orders_benford_first_digit, supplier_hhi_concentration — all
 # selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
@@ -187,6 +188,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round50,
         round51,
         round52,
+        round53,
         scale,
         tpch2,
         training,
@@ -251,6 +253,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round50,
         round51,
         round52,
+        round53,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
