@@ -62,7 +62,7 @@ class QuerySpec:
 # events_daily_autocorr, graph_degree_assortativity,
 # graph_clustering_coefficient, text_pmi_bigrams,
 # lineitem_spearman_corr, lineitem_chi2_independence,
-# orders_benford_first_digit, supplier_hhi_concentration — all
+# events_cross_correlation — all
 # selfchecked at sf0.01); (2) remaining round-1-green entries
 # (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
 # agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,

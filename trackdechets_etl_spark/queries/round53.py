@@ -1,5 +1,5 @@
 """Round-7 additions, fifteenth batch: chi-squared independence test,
-Benford first-digit audit, Herfindahl supplier concentration.
+daily cross-correlation (lead-lag detection).
 
 - ``lineitem_chi2_independence``: Pearson chi-squared test of
   independence between ``l_returnflag`` and ``l_linestatus``. The
@@ -9,19 +9,16 @@ Benford first-digit audit, Herfindahl supplier concentration.
   decimal(38,0) before one double square + division per cell, so the
   only floats are the six per-cell terms and their sum. Totals reach
   the plan as 1-row broadcast crossJoins — nothing eager, nothing
-  driver-side.
-- ``orders_benford_first_digit``: first-significant-digit distribution
-  of ``o_totalprice`` against Benford's law. The digit comes from the
-  integer cents (bigint→string, engine-stable — never from a
-  double→string render); a static 1..9 digit spine left-joins the
-  observed counts so absent digits still report. One scan, one
-  9-row output at any scale.
-- ``supplier_hhi_concentration``: Herfindahl-Hirschman index of
-  supplier revenue concentration within each nation. Revenue is
-  summed per (nation, supplier) in integer cents; HHI's numerator
-  sum(share^2) = sum(cents^2)/total^2 is computed as an EXACT
-  decimal(38,0) sum of squares divided once at the end — no float
-  accumulation across suppliers. Supplier and nation dims broadcast.
+  driver-side. Complements ``events_chisq`` (round7.py), which emits
+  the per-cell observed/expected table: this is the aggregate test
+  STATISTIC with its degrees of freedom.
+- ``events_cross_correlation``: Pearson cross-correlation between the
+  daily click series and the daily purchase series at lags -3..+3 —
+  the lead-lag detector (``events_daily_autocorr`` is the SELF-lag
+  twin; this correlates two DIFFERENT series). Facts reduce to the
+  |days| frame before any lag math; the lag fan-out is a broadcast
+  crossJoin against a 7-row spine and each lag's moments are exact
+  decimal(38,0) sums — one float expression per lag at the end.
 
 Invariant tests in tests/test_round53.py.
 """
@@ -111,152 +108,88 @@ FROM terms
 """
 
 
-# --------------------------------------------- Benford first digit
+# -------------------------------------- daily cross-correlation
 
 
-def _orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = read_table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+_XCORR_LAGS = 3
+
+
+def _events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
     )
-    # first significant digit of the integer cents — bigint→string is
-    # engine-stable (double→string is not)
-    obs = (
-        o.filter(F.col("cents") > 0)
-        .select(
-            F.substring(F.col("cents").cast("string"), 1, 1)
-            .cast("int")
-            .alias("digit")
-        )
-        .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+    daily = e.groupBy(
+        F.to_date("ts").alias("dy"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    x = daily.filter(F.col("event_type") == "click").select(
+        "dy", F.col("c").alias("x")
     )
-    tot = obs.agg(F.sum("n_orders").alias("n_total"))
-    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
-    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-    out = (
-        spine.join(F.broadcast(obs), "digit", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            F.coalesce(F.col("n_orders"), F.lit(0))
-            .cast("long")
-            .alias("n_orders"),
-            F.round(
-                F.coalesce(F.col("n_orders"), F.lit(0)).cast("double")
-                / F.col("n_total"),
-                6,
-            ).alias("obs_pct"),
-            F.round(benford, 6).alias("benford_pct"),
-            F.round(
-                F.coalesce(F.col("n_orders"), F.lit(0)).cast("double")
-                / F.col("n_total")
-                - benford,
-                6,
-            ).alias("delta"),
-        )
+    y = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("dy").alias("dy_y"), F.col("c").alias("y")
     )
-    return out.orderBy("digit")
-
-
-BENFORD_SQL = """
-WITH cents AS (
-    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-obs AS (
-    SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
-           CAST(count(*) AS BIGINT) AS n_orders
-    FROM cents WHERE cents > 0 GROUP BY 1),
-tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM obs),
-spine AS (SELECT CAST(d AS INTEGER) AS digit
-          FROM generate_series(1, 9) AS s(d))
-SELECT spine.digit,
-       coalesce(obs.n_orders, 0) AS n_orders,
-       round(CAST(coalesce(obs.n_orders, 0) AS DOUBLE) / n_total, 6)
-           AS obs_pct,
-       round(log10(1.0 + 1.0 / spine.digit), 6) AS benford_pct,
-       round(CAST(coalesce(obs.n_orders, 0) AS DOUBLE) / n_total
-             - log10(1.0 + 1.0 / spine.digit), 6) AS delta
-FROM spine LEFT JOIN obs ON spine.digit = obs.digit
-CROSS JOIN tot
-ORDER BY 1
-"""
-
-
-# ----------------------------------------- Herfindahl concentration
-
-
-def _supplier_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey",
-        F.round(
-            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
-        )
-        .cast("long")
-        .alias("cents"),
+    lags = spark.range(-_XCORR_LAGS, _XCORR_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
     )
-    sup = read_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    nat = read_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    per_sup = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .groupBy("s_nationkey", "s_suppkey")
-        .agg(F.sum("cents").alias("sup_cents"))
+    # the days frame is tiny (|days| rows) — the lag fan-out and the
+    # shifted self-join never touch fact rows
+    j = (
+        x.crossJoin(F.broadcast(lags))
+        .join(y, F.date_add(F.col("dy"), F.col("lag")) == F.col("dy_y"))
     )
     dec = "decimal(38,0)"
-    per_nat = per_sup.groupBy("s_nationkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum("sup_cents").alias("total_cents"),
-        F.sum(F.col("sup_cents").cast(dec) * F.col("sup_cents").cast(dec))
-        .alias("sq_sum"),
+    xs = F.col("x").cast(dec)
+    ys = F.col("y").cast(dec)
+    sums = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(xs).alias("sx"),
+        F.sum(ys).alias("sy"),
+        F.sum(xs * ys).alias("sxy"),
+        F.sum(xs * xs).alias("sxx"),
+        F.sum(ys * ys).alias("syy"),
     )
-    # HHI on the 0..10000 scale: 10000 * sum(share^2); the share
-    # squares never materialize as floats — one division at the end.
-    hhi = (
-        F.lit(10000.0)
-        * F.col("sq_sum").cast("double")
-        / (
-            F.col("total_cents").cast("double")
-            * F.col("total_cents").cast("double")
-        )
+    n = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    r = (n * F.col("sxy").cast("double") - sx * sy) / F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * sx)
+        * (n * F.col("syy").cast("double") - sy * sy)
     )
-    return (
-        per_nat.join(
-            F.broadcast(nat),
-            per_nat.s_nationkey == nat.n_nationkey,
-        )
-        .select(
-            "n_name",
-            F.col("n_suppliers").cast("long").alias("n_suppliers"),
-            F.col("total_cents").cast("long").alias("total_cents"),
-            F.round(hhi, 6).alias("hhi"),
-        )
-        .orderBy("n_name")
-    )
+    return sums.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(r, 6).alias("r_xcorr"),
+    ).orderBy("lag")
 
 
-HHI_SQL = """
-WITH per_sup AS (
-    SELECT s.s_nationkey, l.l_suppkey,
-           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-                         AS BIGINT)) AS BIGINT) AS sup_cents
-    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    GROUP BY 1, 2),
-per_nat AS (
-    SELECT s_nationkey,
-           CAST(count(*) AS BIGINT) AS n_suppliers,
-           CAST(sum(sup_cents) AS BIGINT) AS total_cents,
-           sum(CAST(sup_cents AS HUGEINT) * sup_cents) AS sq_sum
-    FROM per_sup GROUP BY 1)
-SELECT n.n_name,
-       p.n_suppliers,
-       p.total_cents,
-       round(10000.0 * CAST(p.sq_sum AS DOUBLE)
-             / (CAST(p.total_cents AS DOUBLE)
-                * CAST(p.total_cents AS DOUBLE)), 6) AS hhi
-FROM per_nat p JOIN nation n ON p.s_nationkey = n.n_nationkey
-ORDER BY n_name
+XCORR_SQL = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS dy, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+x AS (SELECT dy, c AS x FROM daily WHERE event_type = 'click'),
+y AS (SELECT dy AS dy_y, c AS y FROM daily WHERE event_type = 'purchase'),
+lags AS (SELECT CAST(l AS INTEGER) AS lag
+         FROM generate_series(-{_XCORR_LAGS}, {_XCORR_LAGS}) AS s(l)),
+j AS (
+    SELECT lag, x, y FROM x CROSS JOIN lags
+    JOIN y ON y.dy_y = x.dy + CAST(lag AS INTEGER)),
+sums AS (
+    SELECT lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           sum(CAST(x AS HUGEINT)) AS sx,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM j GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, n_days,
+       round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS r_xcorr
+FROM sums ORDER BY lag
 """
 
 
@@ -264,10 +197,7 @@ QUERIES: dict[str, QuerySpec] = {
     "lineitem_chi2_independence": QuerySpec(
         _lineitem_chi2_independence, CHI2_SQL
     ),
-    "orders_benford_first_digit": QuerySpec(
-        _orders_benford_first_digit, BENFORD_SQL
-    ),
-    "supplier_hhi_concentration": QuerySpec(
-        _supplier_hhi_concentration, HHI_SQL
+    "events_cross_correlation": QuerySpec(
+        _events_cross_correlation, XCORR_SQL
     ),
 }
