@@ -28,107 +28,82 @@ class QuerySpec:
 # round (observed: CORRECTNESS_r01.json covers exactly keys 0-49).
 # Rotate queries that have not yet produced a green driver check to the
 # front, so successive rounds accumulate verified coverage of the whole
-# registry. Cumulative through r6: 237/256 entries have a driver row
-# (zero failures ever).
-# The round-7 front below = (a) the 17 round-6 post-window additions
-# (round32.py-round38.py, never driver-checked), (b) the 4 entries
-# whose plans changed AFTER their green row (tfidf/ngram-pair eager
-# materialization 1ad0222 + graph fast-path schema 7ad92c5), (c) the
-# 3 entries restructured THIS round (zero-scale quantize guard;
-# RFM quartiles and token-budget curation converted off their global
-# single-partition windows, VERDICT r6 ask #3), (d) 19 oldest-green
-# round-1 entries so no green row stays six rounds stale, and (e) the
-# 7 queries converted off unbounded single-partition windows late in
-# the round (ranking.py global rank / prefix scans). All 50
-# re-verified by the full sf0.01 drive before this rotation.
+# registry. Cumulative through r7: 254/295 oracle-paired entries have a
+# green driver row (zero failures ever).
+# The round-8 front below = (a) the 41 round-7 post-window additions
+# (round39.py-round53.py, never driver-checked; all selfchecked green
+# at the driver's own sf0.01 during round 7 AND re-selfchecked this
+# round after the ADVICE overflow fixes to round46/47/48 and the
+# label-noise kNN bucketing), and (b) the 9 oldest round-1 greens
+# (keep-last/dedup/counts/coverage core + all four reference-pipeline
+# rows) so no green row exceeds ~7 rounds of staleness. 41 + 9 = 50.
 #
-# Post-window queue for the ROUND-8 rotation: (1) the 42 round-7
-# post-window additions round39.py-round53.py (orders_price_global_rank,
-# layout_zorder_key, linkage_edit_distance_join, dq_k_anonymity,
-# events_rolling_7d_active_users, sketch_cms_heavy_hitters,
-# orders_cohort_ltv_curve, orders_similar_payments,
-# text_bpe_learn_merges, orders_mix_shift_decomposition,
-# events_sessionize_capped, embedding_label_noise_knn,
-# text_phrase_search, sim_ndcg_eval, pipeline_gdpr_erasure,
-# dq_referential_integrity, cdc_apply_orders, supplier_dual_sourcing,
-# sample_systematic_ordered, text_rake_keywords,
-# events_p95_activity_cutoff, graph_label_propagation,
-# embedding_mmr_select, events_path_mining_top3,
-# lineitem_discount_elasticity, embedding_outlier_topk,
-# graph_kcore_peel, lineitem_anova_returnflag,
-# lineitem_ship_delay_percentiles, events_two_sample_ks,
-# text_compressibility_proxy, orders_interval_coalesce,
-# lineitem_return_rate_wilson, lineitem_pearson_corr_matrix,
-# events_daily_autocorr, graph_degree_assortativity,
-# graph_clustering_coefficient, text_pmi_bigrams,
-# lineitem_spearman_corr, lineitem_chi2_independence,
-# events_cross_correlation — all
-# selfchecked at sf0.01); (2) remaining round-1-green entries
-# (agg_keep_last_by_year, agg_dedup_first_by_key, agg_distinct_counts,
-# agg_row_counts, agg_coverage_stats, pipeline_siretisation_stats_pre,
-# pipeline_siretisation_enriched, pipeline_rubriques_chain,
-# pipeline_open_data, text_token_counts, text_quality_score,
-# text_lang_id, text_fingerprint, dedup_exact, dedup_exact_fingerprint,
+# Post-window queue for the ROUND-9 rotation: (1) any entry whose plan
+# changes after its green row this round (tracked in this comment as
+# they happen): graph_jaccard_neighbors (hot-bucket cap, r8);
+# (2) new round-8 additions (round54.py+): listed at the end of this
+# comment as they ship; (3) remaining stale round-1/round-3 greens,
+# oldest first: text_token_counts, text_quality_score, text_lang_id,
+# text_fingerprint, dedup_exact, dedup_exact_fingerprint,
 # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
 # dedup_embedding_cosine, sim_topk_bruteforce, sim_lsh_bucket_topk,
-# events_set_ops, events_pivot_counts); (3) oldest r3 greens.
+# events_set_ops, events_pivot_counts, tpch_q1..q22 family,
+# sim_ivf_topk, sim_pq_adc_topk, graph_connected_components,
+# graph_pagerank, graph_triangles.
 _VERIFY_FIRST = [
-    # (a) round-6 post-window additions — first driver check
-    "multimodal_image_phash",
-    "orders_reorder_rate",
-    "text_hashing_trick",
-    "events_user_type_profile",
-    "events_time_to_first_purchase",
-    "sim_matryoshka_recall",
-    "dataset_card_stats",
-    "graph_degree_histogram",
-    "lineitem_encoding_advisor",
-    "embedding_centroid_drift",
-    "orders_join_size_estimate",
-    "embedding_quantile_normalize",
-    "dedup_minhash_calibration",
-    "orders_seasonal_naive_backtest",
-    "dq_null_cardinality_matrix",
-    "text_bm25_topk",
-    "events_burst_profile",
-    # (b) plans changed after their green row (stale-green refresh)
-    "dedup_ngram_jaccard",
-    "text_tfidf_topk",
-    "dedup_clusters",
-    "pipeline_corpus_clean",
-    # (c) restructured this round
-    "embedding_quantize_int8",
-    "events_rfm_segments",
-    "select_quality_budget",
-    # (d) oldest-green (round 1) refresh, registry order
-    "agg_top_customers",
-    "agg_revenue_rollup",
-    "flagship_revenue_by_region",
-    "agg_supplier_balance",
-    "projection_drop",
-    "filter_valid_siret",
-    "filter_null_or_short",
-    "filter_prefix_inlist",
-    "scalar_concat_null_default",
-    "scalar_regex_extract",
-    "scalar_prefix_zero",
-    "scalar_backfill_invalid",
-    "scalar_conditional_overwrite",
-    "scalar_dict_decode",
-    "scalar_cast_date",
-    "join_left_enrich",
-    "join_name_fanout",
-    "join_inner_rubriques",
-    "join_existence_flag",
-    # (e) converted off single-partition windows THIS round
-    # (ranking.py global rank / prefix scan — VERDICT r6 ask #3):
-    "orders_gini",
-    "orders_pareto",
-    "training_curriculum_order",
-    "agg_histogram_equidepth",
-    "islands_gaps",
-    "events_concurrency_peak",
-    "events_late_arrivals",
+    # (a) round-7 post-window additions (round39-round53) — first
+    # driver check; registry-module order
+    "orders_price_global_rank",
+    "layout_zorder_key",
+    "linkage_edit_distance_join",
+    "dq_k_anonymity",
+    "events_rolling_7d_active_users",
+    "sketch_cms_heavy_hitters",
+    "orders_cohort_ltv_curve",
+    "orders_similar_payments",
+    "text_bpe_learn_merges",
+    "orders_mix_shift_decomposition",
+    "events_sessionize_capped",
+    "embedding_label_noise_knn",
+    "text_phrase_search",
+    "sim_ndcg_eval",
+    "pipeline_gdpr_erasure",
+    "dq_referential_integrity",
+    "cdc_apply_orders",
+    "supplier_dual_sourcing",
+    "sample_systematic_ordered",
+    "text_rake_keywords",
+    "events_p95_activity_cutoff",
+    "graph_label_propagation",
+    "embedding_mmr_select",
+    "events_path_mining_top3",
+    "lineitem_discount_elasticity",
+    "embedding_outlier_topk",
+    "graph_kcore_peel",
+    "lineitem_anova_returnflag",
+    "lineitem_ship_delay_percentiles",
+    "events_two_sample_ks",
+    "text_compressibility_proxy",
+    "orders_interval_coalesce",
+    "lineitem_return_rate_wilson",
+    "lineitem_pearson_corr_matrix",
+    "events_daily_autocorr",
+    "graph_degree_assortativity",
+    "graph_clustering_coefficient",
+    "text_pmi_bigrams",
+    "lineitem_spearman_corr",
+    "lineitem_chi2_independence",
+    "events_cross_correlation",
+    # (b) oldest round-1 greens — freshness refresh (last driver row r1)
+    "agg_keep_last_by_year",
+    "agg_dedup_first_by_key",
+    "agg_distinct_counts",
+    "agg_row_counts",
+    "agg_coverage_stats",
+    "pipeline_siretisation_stats_pre",
+    "pipeline_siretisation_enriched",
+    "pipeline_rubriques_chain",
+    "pipeline_open_data",
 ]
 
 

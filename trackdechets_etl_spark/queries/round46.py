@@ -45,9 +45,14 @@ def _lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # n ~ 6e6 per sf, so the cross products n*sxy / sx*sy / n*sxx /
+    # sx*sx overflow int64 around sf>=40. Widen the sums to
+    # decimal(38,0) (exact, ~23 digits at sf=1000) before the
+    # products; divide as double. The oracle mirrors with HUGEINT.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    slope = num.cast("double") / den.cast("double")
     return sums.select(
         F.col("n").cast("long").alias("n_rows"),
         F.round(slope, 6).alias("qty_per_discount_pct"),
@@ -70,9 +75,11 @@ s AS (
            CAST(sum(x * x) AS BIGINT) AS sxx
     FROM li)
 SELECT n AS n_rows,
-       round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
            AS qty_per_discount_pct,
-       round((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+       round((sy - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
               * sx) / n, 6) AS base_qty
 FROM s
 """

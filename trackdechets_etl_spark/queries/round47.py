@@ -43,17 +43,20 @@ def _lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     aggs.append(F.sum(F.col("y") * F.col("y")).alias("ss_total_raw"))
     sums = li.agg(*aggs)
-    # fixed-order float algebra: A then N then R, grand term last
+    # fixed-order float algebra: A then N then R, grand term last.
+    # Each int64 sum is cast to double BEFORE squaring: s_total grows
+    # ~1.5e8 per sf, so the long*long square overflows int64 around
+    # sf>=20 (ANSI Spark throws). double*double is exact to 2^53 and
+    # degrades gracefully past it; the oracle mirrors the cast.
+    sA, sN, sR = (F.col(f"s_{f}").cast("double") for f in _FLAGS)
+    sT = F.col("s_total").cast("double")
     ssb = (
-        F.col("s_A") * F.col("s_A") / F.col("n_A")
-        + F.col("s_N") * F.col("s_N") / F.col("n_N")
-        + F.col("s_R") * F.col("s_R") / F.col("n_R")
-        - F.col("s_total") * F.col("s_total") / F.col("n_total")
+        sA * sA / F.col("n_A")
+        + sN * sN / F.col("n_N")
+        + sR * sR / F.col("n_R")
+        - sT * sT / F.col("n_total")
     )
-    sst = (
-        F.col("ss_total_raw")
-        - F.col("s_total") * F.col("s_total") / F.col("n_total")
-    )
+    sst = F.col("ss_total_raw") - sT * sT / F.col("n_total")
     ssw = sst - ssb
     k = len(_FLAGS)
     f_stat = (ssb / (k - 1)) / (ssw / (F.col("n_total") - k))
@@ -79,11 +82,11 @@ WITH s AS (
     FROM lineitem),
 d AS (
     SELECT n_total,
-           s_a * s_a / CAST(n_a AS DOUBLE)
-             + s_n * s_n / CAST(n_n AS DOUBLE)
-             + s_r * s_r / CAST(n_r AS DOUBLE)
-             - s_total * s_total / CAST(n_total AS DOUBLE) AS ssb,
-           ss_raw - s_total * s_total / CAST(n_total AS DOUBLE) AS sst
+           CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             + CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n_n AS DOUBLE)
+             + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE)
+             - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS ssb,
+           ss_raw - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE) AS sst
     FROM s)
 SELECT n_total AS n_rows,
        round(ssb, 4) AS ss_between,

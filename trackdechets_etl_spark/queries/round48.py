@@ -49,11 +49,15 @@ def _events_two_sample_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n0"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
     )
+    # f*n products are per-group-count x per-group-count: they pass
+    # int64 once each half exceeds ~3e9 events. Widen to decimal(38,0)
+    # (exact; the oracle mirrors with HUGEINT) and divide as double.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     gaps = cum.crossJoin(F.broadcast(tot)).select(
         "cents",
         "n0",
         "n1",
-        F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0")).alias(
+        F.abs(dec("f0") * dec("n1") - dec("f1") * dec("n0")).alias(
             "cross_gap"
         ),
     )
@@ -65,7 +69,9 @@ def _events_two_sample_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").cast("long").alias("n1"),
             (F.col("cents") / 100.0).alias("ks_at_value"),
             F.round(
-                F.col("cross_gap") / (F.col("n0") * F.col("n1")), 6
+                F.col("cross_gap").cast("double")
+                / (dec("n0") * dec("n1")).cast("double"),
+                6,
             ).alias("ks_d"),
         )
     )
@@ -94,11 +100,13 @@ tot AS (
     FROM ev),
 gaps AS (
     SELECT cents, n0, n1,
-           abs(f0 * n1 - f1 * n0) AS cross_gap
+           abs(CAST(f0 AS HUGEINT) * n1 - CAST(f1 AS HUGEINT) * n0)
+               AS cross_gap
     FROM cum CROSS JOIN tot)
 SELECT n0, n1,
        cents / 100.0 AS ks_at_value,
-       round(cross_gap / CAST(n0 * n1 AS DOUBLE), 6) AS ks_d
+       round(CAST(cross_gap AS DOUBLE)
+             / CAST(CAST(n0 AS HUGEINT) * n1 AS DOUBLE), 6) AS ks_d
 FROM gaps ORDER BY cross_gap DESC, cents LIMIT 1
 """
 
