@@ -41,8 +41,8 @@ class QuerySpec:
 # Post-window queue for the ROUND-9 rotation: (1) any entry whose plan
 # changes after its green row this round (tracked in this comment as
 # they happen): graph_jaccard_neighbors (hot-bucket cap, r8);
-# (2) new round-8 additions (round54.py+): listed at the end of this
-# comment as they ship; (3) remaining stale round-1/round-3 greens,
+# (2) new round-8 additions (round54.py+), in ship order:
+# embedding_label_noise_recall; (3) remaining stale round-1/round-3 greens,
 # oldest first: text_token_counts, text_quality_score, text_lang_id,
 # text_fingerprint, dedup_exact, dedup_exact_fingerprint,
 # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
@@ -164,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round51,
         round52,
         round53,
+        round54,
         scale,
         tpch2,
         training,
@@ -229,6 +230,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round51,
         round52,
         round53,
+        round54,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

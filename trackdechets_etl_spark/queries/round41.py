@@ -293,14 +293,26 @@ _NOISE_PROBE_HEX = "28"  # md5(vec_id) < 0x28/0xff -> ~1/6.4 of vectors
 
 
 def _embedding_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from trackdechets_etl_spark.llm.similarity import cosine
+    from trackdechets_etl_spark.llm.similarity import bucket_expr, cosine
 
-    e = read_table(spark, sf_dir, "embeddings")
-    # deterministic md5 probe sample: the audit cost is
-    # |sample| x |corpus| — LINEAR in the corpus at any scale (the
-    # all-probes form is quadratic; measured 6.7x at the 100x sweep
-    # before this cap). The sample is a pure row property, so the
-    # oracle applies the identical cut.
+    EMB_DIMS = 64
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        bucket_expr(F.col("embedding"), EMB_DIMS).alias("bucket"),
+    )
+    # deterministic md5 probe sample caps the probe side; candidate
+    # generation is an EQUI-JOIN on the hyperplane-LSH bucket (the
+    # sim_lsh_bucket_topk path), so NEITHER join input must fit in a
+    # broadcast — the r7 form broadcast the whole corpus, which is the
+    # plan's hard stop once the corpus passes Spark's 8 GB broadcast
+    # limit. Both cuts are pure row properties, so the oracle applies
+    # the identical sample AND bucket restriction. At 100 TB, raise
+    # n_planes so 2^planes >> cores (bucket count bounds join
+    # parallelism) and let AQE split residual hot buckets; the exact
+    # audit lives on as the recall twin (embedding_label_noise_recall,
+    # round54.py), which broadcasts only the bounded probe side.
     a = e.filter(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2)
         < _NOISE_PROBE_HEX
@@ -308,14 +320,16 @@ def _embedding_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("pid"),
         F.col("label").alias("plabel"),
         F.col("embedding").alias("pv"),
+        "bucket",
     )
     b = e.select(
         F.col("vec_id").alias("nid"),
         F.col("label").alias("nlabel"),
         F.col("embedding").alias("nv"),
+        "bucket",
     )
     scored = (
-        a.crossJoin(F.broadcast(b))
+        a.join(b, "bucket")
         .filter(F.col("pid") != F.col("nid"))
         .select("pid", "plabel", "nid", "nlabel", cosine(F.col("pv"), F.col("nv")).alias("cos"))
     )
@@ -343,9 +357,27 @@ def _embedding_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _noise_plane_sql(p: int) -> str:
+    from trackdechets_etl_spark.llm.similarity import hyperplane
+
+    return "[" + ", ".join(str(x) for x in hyperplane(p, 64)) + "]"
+
+
+def _noise_bucket_sql() -> str:
+    from trackdechets_etl_spark.llm.similarity import N_PLANES
+
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_noise_plane_sql(p)}) > 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+
+
 LABEL_NOISE_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-p AS (SELECT * FROM e
+bk AS (SELECT vec_id, v, label,
+              CAST({_noise_bucket_sql()} AS INT) AS bucket FROM e),
+p AS (SELECT * FROM bk
       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '28'),
 scored AS (
     SELECT a.vec_id AS pid, a.label AS plabel,
@@ -353,7 +385,7 @@ scored AS (
            list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))) AS cos
-    FROM p a, e b WHERE a.vec_id <> b.vec_id),
+    FROM p a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
 knn AS (
     SELECT * FROM (
         SELECT pid, plabel, nlabel,
