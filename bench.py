@@ -61,6 +61,25 @@ def main() -> None:
     registry["flagship_revenue_by_nation"].fn(spark, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
+    # Fixed calibration probes (VERDICT r7): two constant workloads
+    # whose plans never change round-over-round, so a shift in THEIR
+    # timings is machine-state evidence (co-tenant load, JVM/CPU
+    # throttling), while flat calibration + inflated queries would
+    # indict the plans. One is scan-bound, one is pure JVM CPU.
+    calib_scan: list[float] = []
+    calib_cpu: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+            "sum(l_extendedprice)", "count(*)"
+        ).collect()
+        calib_scan.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(cast(id % 1000003 as double) * (id % 999983))"
+        ).collect()
+        calib_cpu.append(time.perf_counter() - t0)
+
     # Min-of-N per query: the box is shared, and a single co-tenant
     # burst can inflate one query 5-10× — and can span several
     # back-to-back passes, which is how sub-second queries have shown
@@ -105,6 +124,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "samples": raw_samples,
+                "calibration_scan_sec": round(min(calib_scan), 3),
+                "calibration_cpu_sec": round(min(calib_cpu), 3),
+                "calibration_samples": {
+                    "scan": [round(s, 3) for s in calib_scan],
+                    "cpu": [round(s, 3) for s in calib_cpu],
+                },
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
