@@ -379,6 +379,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "events_p95_activity_cutoff",
     # CDF gap over the distinct-cents value frame (two-sample KS).
     "events_two_sample_ks",
+    # average-rank half-units over the same distinct-cents value frame
+    # (Mann-Whitney U) — identical bound and contract as the KS row.
+    "events_mann_whitney_u",
     # average-rank maps over the distinct quantity (50) / discount (11)
     # value frames — bounded by measure cardinality, same contract as
     # events_two_sample_ks.

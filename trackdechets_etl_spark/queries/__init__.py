@@ -42,7 +42,9 @@ class QuerySpec:
 # changes after its green row this round (tracked in this comment as
 # they happen): graph_jaccard_neighbors (hot-bucket cap, r8);
 # (2) new round-8 additions (round54.py+), in ship order:
-# embedding_label_noise_recall; (3) remaining stale round-1/round-3 greens,
+# embedding_label_noise_recall, events_mann_whitney_u,
+# lineitem_kendall_tau, events_interval_overlap_join, sim_mrr_eval,
+# text_oov_rate_topv; (3) remaining stale round-1/round-3 greens,
 # oldest first: text_token_counts, text_quality_score, text_lang_id,
 # text_fingerprint, dedup_exact, dedup_exact_fingerprint,
 # dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
@@ -165,6 +167,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round52,
         round53,
         round54,
+        round55,
         scale,
         tpch2,
         training,
@@ -231,6 +234,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round52,
         round53,
         round54,
+        round55,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
