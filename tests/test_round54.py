@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import hashlib
+import re
 from collections import Counter
 
 import numpy as np
@@ -101,5 +102,7 @@ def test_production_knn_plan_has_no_corpus_broadcast_hint(spark):
     registry-wide — here we pin that the join key is the bucket."""
     df = _q("embedding_label_noise_knn")(spark, SF_DIR)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "bucket" in plan
-    assert "crossJoin" not in plan.lower() or "bucket" in plan
+    assert "crossjoin" not in plan.lower()
+    assert "cartesian" not in plan.lower()
+    # the candidate join must be the bucket equi-join
+    assert re.search(r"Join Inner,.*bucket", plan), plan[:2000]

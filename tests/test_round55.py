@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import hashlib
+import re
 from collections import Counter
 
 import pytest
@@ -123,6 +124,24 @@ def test_interval_overlap_equals_naive_range_join(spark):
             min(en, hstart + 3600) - max(st, hstart) for st, en in overl
         )
         assert rows[hstart] == (n_ev, len(overl), tot), hstart
+
+
+def test_interval_overlap_explode_is_clamped_to_peak_range(spark):
+    """r9 clamp pin: the explode sequence is bounded by the broadcast
+    peak-hour [min, max] bins (greatest/least), with the empty-clamp
+    guard (b0 <= b1) filtering before the Generate — a gap-only
+    session spanning the whole dataset cannot fan out bins outside the
+    peak-hour range."""
+    df = _q("events_interval_overlap_join")(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"sequence\(", plan), plan[:3000]
+    assert re.search(r"greatest\(", plan), plan[:3000]
+    assert re.search(r"least\(", plan), plan[:3000]
+    # empty-sequence guard survives optimization either as a filter on
+    # the clamp aliases or pushed into the bounds-join condition
+    assert re.search(
+        r"b0#\d+L? <= b1#\d+L?|greatest\(.*\) <= least\(.*\)", plan
+    ), plan[:3000]
 
 
 def test_mrr_eval_bounds(spark):

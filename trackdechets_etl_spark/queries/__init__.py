@@ -28,84 +28,85 @@ class QuerySpec:
 # round (observed: CORRECTNESS_r01.json covers exactly keys 0-49).
 # Rotate queries that have not yet produced a green driver check to the
 # front, so successive rounds accumulate verified coverage of the whole
-# registry. Cumulative through r7: 254/295 oracle-paired entries have a
+# registry. Cumulative through r8: 295/301 oracle-paired entries have a
 # green driver row (zero failures ever).
-# The round-8 front below = (a) the 41 round-7 post-window additions
-# (round39.py-round53.py, never driver-checked; all selfchecked green
-# at the driver's own sf0.01 during round 7 AND re-selfchecked this
-# round after the ADVICE overflow fixes to round46/47/48 and the
-# label-noise kNN bucketing), and (b) the 9 oldest round-1 greens
-# (keep-last/dedup/counts/coverage core + all four reference-pipeline
-# rows) so no green row exceeds ~7 rounds of staleness. 41 + 9 = 50.
+# The round-9 front below = (a) the 7 queued entries: the 6 round-8
+# additions (round54.py/round55.py, never driver-checked; selfchecked
+# green at the driver's own sf0.01) plus graph_jaccard_neighbors,
+# whose plan changed (degree cap) after its last green row; (b) the 14
+# oldest stale greens (last driver row round 1); (c) 29 round-3 greens
+# — freshness refresh prioritizing the bench headliners (tpch family,
+# profile_orders, window_suite) and the round-8 verdict watch items
+# (join_asof_events, join_range_events). 7 + 14 + 29 = 50.
 #
-# Post-window queue for the ROUND-9 rotation: (1) any entry whose plan
-# changes after its green row this round (tracked in this comment as
-# they happen): graph_jaccard_neighbors (hot-bucket cap, r8);
-# (2) new round-8 additions (round54.py+), in ship order:
-# embedding_label_noise_recall, events_mann_whitney_u,
-# lineitem_kendall_tau, events_interval_overlap_join, sim_mrr_eval,
-# text_oov_rate_topv; (3) remaining stale round-1/round-3 greens,
-# oldest first: text_token_counts, text_quality_score, text_lang_id,
-# text_fingerprint, dedup_exact, dedup_exact_fingerprint,
-# dedup_minhash_lsh, dedup_simhash, dedup_simhash_pairs,
-# dedup_embedding_cosine, sim_topk_bruteforce, sim_lsh_bucket_topk,
-# events_set_ops, events_pivot_counts, tpch_q1..q22 family,
-# sim_ivf_topk, sim_pq_adc_topk, graph_connected_components,
-# graph_pagerank, graph_triangles.
+# Post-window queue for the ROUND-10 rotation: (1) any entry whose
+# plan changes after its green row this round (tracked in this comment
+# as they happen): <none yet>;
+# (2) new round-9 additions (round56.py+), in ship order;
+# (3) remaining stale round-3 greens, registry order: events_gap_fill,
+# sample_stratified_per_group, unpivot_measures, join_null_safe,
+# agg_conditional, agg_collect_sorted, sample_hash_deterministic,
+# text_top_bigrams, top_supplier_per_nation, join_fuzzy_name,
+# agg_grouping_sets, docs_with_embeddings, audit_orphans,
+# events_session_paths, events_range_window, date_functions,
+# string_functions, exists_subquery; then the round-4 greens oldest
+# first.
 _VERIFY_FIRST = [
-    # (a) round-7 post-window additions (round39-round53) — first
-    # driver check; registry-module order
-    "orders_price_global_rank",
-    "layout_zorder_key",
-    "linkage_edit_distance_join",
-    "dq_k_anonymity",
-    "events_rolling_7d_active_users",
-    "sketch_cms_heavy_hitters",
-    "orders_cohort_ltv_curve",
-    "orders_similar_payments",
-    "text_bpe_learn_merges",
-    "orders_mix_shift_decomposition",
-    "events_sessionize_capped",
-    "embedding_label_noise_knn",
-    "text_phrase_search",
-    "sim_ndcg_eval",
-    "pipeline_gdpr_erasure",
-    "dq_referential_integrity",
-    "cdc_apply_orders",
-    "supplier_dual_sourcing",
-    "sample_systematic_ordered",
-    "text_rake_keywords",
-    "events_p95_activity_cutoff",
-    "graph_label_propagation",
-    "embedding_mmr_select",
-    "events_path_mining_top3",
-    "lineitem_discount_elasticity",
-    "embedding_outlier_topk",
-    "graph_kcore_peel",
-    "lineitem_anova_returnflag",
-    "lineitem_ship_delay_percentiles",
-    "events_two_sample_ks",
-    "text_compressibility_proxy",
-    "orders_interval_coalesce",
-    "lineitem_return_rate_wilson",
-    "lineitem_pearson_corr_matrix",
-    "events_daily_autocorr",
-    "graph_degree_assortativity",
-    "graph_clustering_coefficient",
-    "text_pmi_bigrams",
-    "lineitem_spearman_corr",
-    "lineitem_chi2_independence",
-    "events_cross_correlation",
-    # (b) oldest round-1 greens — freshness refresh (last driver row r1)
-    "agg_keep_last_by_year",
-    "agg_dedup_first_by_key",
-    "agg_distinct_counts",
-    "agg_row_counts",
-    "agg_coverage_stats",
-    "pipeline_siretisation_stats_pre",
-    "pipeline_siretisation_enriched",
-    "pipeline_rubriques_chain",
-    "pipeline_open_data",
+    # (a) queued: round-8 additions (first driver check) + the one
+    # plan-changed entry
+    "embedding_label_noise_recall",
+    "events_mann_whitney_u",
+    "lineitem_kendall_tau",
+    "events_interval_overlap_join",
+    "sim_mrr_eval",
+    "text_oov_rate_topv",
+    "graph_jaccard_neighbors",
+    # (b) oldest stale greens — last driver row round 1
+    "text_token_counts",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_lsh_bucket_topk",
+    "events_set_ops",
+    "events_pivot_counts",
+    # (c) round-3 greens — freshness refresh (bench headliners + watch
+    # items first, then registry order)
+    "join_asof_events",
+    "join_range_events",
+    "profile_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "window_suite",
+    "json_extract_events",
+    "events_funnel",
+    "sim_ivf_topk",
+    "sim_lsh_recall",
+    "multimodal_meta",
+    "embedding_normalize",
+    "embedding_label_centroids",
+    "events_moving_avg",
+    "events_tumbling_hourly",
+    "events_sliding_window",
+    "events_session_window",
+    "embedding_array_stats",
+    "multimodal_decode",
+    "incremental_agg",
+    "merge_upsert",
+    "join_semi_anti",
+    "agg_quantiles",
+    "agg_histogram",
 ]
 
 

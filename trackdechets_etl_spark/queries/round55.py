@@ -22,8 +22,10 @@ retrieval eval, and vocabulary coverage.
   the same join declaratively as a range predicate, proving
   bin-join ≡ range-join. Per peak hour: sessions intersecting it and
   total overlapped seconds. At 100 TB the bin fan-out is bounded by
-  session span / 1h (sessions are gap- or cap-bounded upstream —
-  events_sessionize_capped); no sort-merge range scan, no cartesian.
+  the broadcast peak-hour [min, max] spread — the explode sequence is
+  clamped to it (empty-clamp sessions filtered pre-explode), so even
+  a continuously-active user whose gap-only session spans weeks emits
+  only in-range bins; no sort-merge range scan, no cartesian.
 - ``sim_mrr_eval``: mean reciprocal rank of the exact nearest
   neighbour inside the LSH-bucket ranking for the 10 probe queries —
   the retrieval-eval companion to ``sim_ndcg_eval`` (NDCG grades the
@@ -221,12 +223,12 @@ cd AS (
            sum(CASE WHEN a.y > b.y
                     THEN CAST(a.n AS HUGEINT) * b.n END) AS disc
     FROM cells a JOIN cells b ON a.x < b.x),
-mx AS (SELECT sum(CAST(nx AS HUGEINT) * (nx - 1) / 2) AS tx
+mx AS (SELECT sum(CAST(nx AS HUGEINT) * (nx - 1) // 2) AS tx
        FROM (SELECT sum(n) AS nx FROM cells GROUP BY x)),
-my AS (SELECT sum(CAST(ny AS HUGEINT) * (ny - 1) / 2) AS ty
+my AS (SELECT sum(CAST(ny AS HUGEINT) * (ny - 1) // 2) AS ty
        FROM (SELECT sum(n) AS ny FROM cells GROUP BY y)),
 tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nr FROM cells),
-d AS (SELECT conc, disc, tx, ty, nr, nr * (nr - 1) / 2 AS n0
+d AS (SELECT conc, disc, tx, ty, nr, nr * (nr - 1) // 2 AS n0
       FROM cd, mx, my, tot)
 SELECT CAST(nr AS BIGINT) AS n_rows,
        round(CAST(conc AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS p_concordant,
@@ -271,18 +273,35 @@ def _events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame
     peak = hours.orderBy(F.desc("n_events_hour"), "hstart").limit(
         _OVL_TOP_HOURS
     )
-    # bin explosion: a session touches span/3600 + 1 hour bins (spans
-    # are gap/cap bounded upstream), then the overlap join is an
-    # EQUI-join on the bin against the broadcast peak-hour frame — the
-    # declarative range join (oracle) without a range scan.
-    bins = sess.select(
-        "user_id",
-        "sid",
-        "st",
-        "en",
-        F.explode(
-            F.sequence(F.expr("st div 3600"), F.expr("en div 3600"))
-        ).alias("hbin"),
+    # bin explosion: a session touches span/3600 + 1 hour bins, then
+    # the overlap join is an EQUI-join on the bin against the
+    # broadcast peak-hour frame — the declarative range join (oracle)
+    # without a range scan. The sequence is CLAMPED to the broadcast
+    # peak-hour [min, max] bin so fan-out is bounded by the peak-hour
+    # spread, not the session span: a continuously-active user (one
+    # arbitrarily long gap-only session) cannot explode thousands of
+    # never-joining bins. Sessions entirely outside the peak range
+    # produce an empty clamp (b0 > b1) and are filtered pre-explode —
+    # they could never join, so the output is identical to the
+    # unclamped form (oracle = the declarative range predicate).
+    bounds = peak.agg(
+        F.min(F.expr("hstart div 3600")).alias("peak_lo"),
+        F.max(F.expr("hstart div 3600")).alias("peak_hi"),
+    )
+    bins = (
+        sess.join(F.broadcast(bounds))
+        .withColumn(
+            "b0", F.greatest(F.expr("st div 3600"), F.col("peak_lo"))
+        )
+        .withColumn("b1", F.least(F.expr("en div 3600"), F.col("peak_hi")))
+        .filter(F.col("b0") <= F.col("b1"))
+        .select(
+            "user_id",
+            "sid",
+            "st",
+            "en",
+            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("hbin"),
+        )
     )
     joined = bins.join(
         F.broadcast(peak.withColumn("hbin", F.expr("hstart div 3600"))),
