@@ -388,6 +388,12 @@ _SINGLE_PARTITION_WINDOW_OK = {
     "lineitem_spearman_corr",
     # per-supplier revenue aggregate (dimension-sized, Q15 contract).
     "tpch_q15_top_supplier",
+    # day-frame prefix over the distinct-day revenue series — bounded
+    # by the calendar span, never by fact volume.
+    "orders_cusum_changepoint",
+    # cumulative mass over the distinct-slope frame (<= 980 rationals
+    # dy/dx from the 11x50 measure grid) — Kendall cell discipline.
+    "lineitem_theil_sen",
 }
 
 

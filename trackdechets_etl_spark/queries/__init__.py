@@ -42,7 +42,11 @@ class QuerySpec:
 # Post-window queue for the ROUND-10 rotation: (1) any entry whose
 # plan changes after its green row this round (tracked in this comment
 # as they happen): <none yet>;
-# (2) new round-9 additions (round56.py+), in ship order;
+# (2) new round-9 additions (round56.py+), in ship order:
+# profile_orders_approx (rows-only),
+# lineitem_ship_delay_percentiles_approx (rows-only),
+# text_bigram_lm_perplexity, orders_cusum_changepoint,
+# sample_weighted_systematic, lineitem_theil_sen;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
@@ -169,6 +173,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round53,
         round54,
         round55,
+        round56,
         scale,
         tpch2,
         training,
@@ -236,6 +241,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round53,
         round54,
         round55,
+        round56,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
