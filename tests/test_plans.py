@@ -394,6 +394,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # cumulative mass over the distinct-slope frame (<= 980 rationals
     # dy/dx from the 11x50 measure grid) — Kendall cell discipline.
     "lineitem_theil_sen",
+    # average-rank half-units over the distinct-cents value frame —
+    # identical bound and contract as events_mann_whitney_u.
+    "events_kruskal_wallis",
 }
 
 

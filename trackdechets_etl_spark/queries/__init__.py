@@ -46,7 +46,10 @@ class QuerySpec:
 # profile_orders_approx (rows-only),
 # lineitem_ship_delay_percentiles_approx (rows-only),
 # text_bigram_lm_perplexity, orders_cusum_changepoint,
-# sample_weighted_systematic, lineitem_theil_sen;
+# sample_weighted_systematic, lineitem_theil_sen,
+# text_repeated_span_coverage, events_kruskal_wallis,
+# lineitem_multiple_ols, orders_scd2_intervals,
+# sim_recall_curve_nplanes, events_twap_daily, events_pchart_control;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
@@ -174,6 +177,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round54,
         round55,
         round56,
+        round57,
         scale,
         tpch2,
         training,
@@ -242,6 +246,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round54,
         round55,
         round56,
+        round57,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
