@@ -49,7 +49,9 @@ class QuerySpec:
 # sample_weighted_systematic, lineitem_theil_sen,
 # text_repeated_span_coverage, events_kruskal_wallis,
 # lineitem_multiple_ols, orders_scd2_intervals,
-# sim_recall_curve_nplanes, events_twap_daily, events_pchart_control;
+# sim_recall_curve_nplanes, events_twap_daily, events_pchart_control,
+# lineitem_jarque_bera, lineitem_welch_ttest, orders_diff_in_diff,
+# events_runs_test, text_repeated_span_ladder;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
@@ -178,6 +180,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round55,
         round56,
         round57,
+        round58,
         scale,
         tpch2,
         training,
@@ -247,6 +250,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round55,
         round56,
         round57,
+        round58,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
