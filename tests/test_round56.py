@@ -93,53 +93,72 @@ def test_ship_delay_approx_matches_exact_within_band(spark):
 # ------------------------------------------ bigram LM perplexity
 
 
-def _py_bigram_replay(spark):
+def _py_bigram_heldout_replay(spark):
+    import hashlib
+
     docs = (
         read_table(spark, SF_DIR, "documents")
         .select("doc_id", "text")
         .collect()
     )
     per_doc = {}
+    is_train = {}
     for r in docs:
         toks = [t for t in r.text.lower().split(" ") if t]
         per_doc[r.doc_id] = list(zip(toks, toks[1:]))
-    c12 = Counter(bg for bgs in per_doc.values() for bg in bgs)
+        is_train[r.doc_id] = (
+            hashlib.md5(str(r.doc_id).encode()).hexdigest()[:2] < "cc"
+        )
+    c12 = Counter(
+        bg for d, bgs in per_doc.items() if is_train[d] for bg in bgs
+    )
     c1 = Counter()
     for (w1, _), n in c12.items():
         c1[w1] += n
-    vocab = {w for bg in c12 for w in bg}
-    v = len(vocab)
-    nll = {
-        bg: math.floor(-math.log((n + 1) / (c1[bg[0]] + v)) * 1e9)
-        for bg, n in c12.items()
-    }
-    return {
-        d: (len(bgs), sum(nll[bg] for bg in bgs) // len(bgs))
-        for d, bgs in per_doc.items()
-        if bgs
-    }
+    v = len({w for bg in c12 for w in bg})
+    out = {}
+    for d, bgs in per_doc.items():
+        if is_train[d] or not bgs:
+            continue
+        s = up = uc = 0
+        for bg in bgs:
+            n12 = c12.get(bg, 0)
+            n1 = c1.get(bg[0], 0)
+            up += n12 == 0
+            uc += n1 == 0
+            s += math.floor(-math.log((n12 + 1) / (n1 + v)) * 1e9)
+        out[d] = (len(bgs), up, uc, s // len(bgs))
+    return out
 
 
-def test_bigram_lm_matches_python_replay(spark):
-    expected = _py_bigram_replay(spark)
+def test_bigram_lm_heldout_matches_python_replay(spark):
+    expected = _py_bigram_heldout_replay(spark)
     got = {
-        r.doc_id: (r.n_bigrams, r.ce_micro)
-        for r in _q("text_bigram_lm_perplexity")(spark, SF_DIR).collect()
+        r.doc_id: (r.n_bigrams, r.n_unseen_pairs, r.n_unseen_ctx, r.ce_micro)
+        for r in _q("text_bigram_lm_heldout")(spark, SF_DIR).collect()
     }
     assert set(got) == set(expected)
-    for d, (nb, ce) in expected.items():
-        assert got[d][0] == nb, d
-        # java Math.log vs libm may differ by 1 ulp per distinct bigram
-        # type: allow 2 micro-nats on the per-doc mean
-        assert abs(got[d][1] - ce) <= 2, d
+    assert got  # the held-out split is non-empty
+    for d, (nb, up, uc, ce) in expected.items():
+        assert got[d][:3] == (nb, up, uc), d
+        # java Math.log vs libm may differ by 1 ulp per distinct ln
+        # input: allow 2 micro-nats on the per-doc mean
+        assert abs(got[d][3] - ce) <= 2, d
 
 
-def test_bigram_lm_ce_positive_and_bounded(spark):
-    rows = _q("text_bigram_lm_perplexity")(spark, SF_DIR).collect()
+def test_bigram_lm_heldout_scores_only_heldout_docs(spark):
+    import hashlib
+
+    rows = _q("text_bigram_lm_heldout")(spark, SF_DIR).collect()
     assert rows
     for r in rows:
+        assert (
+            hashlib.md5(str(r.doc_id).encode()).hexdigest()[:2] >= "cc"
+        ), "train doc leaked into the held-out scoring"
         assert r.ce_micro > 0
-        # ce <= ln(c1_max + V) <= ln(total_bigrams + V): loose sanity
+        assert 0 <= r.n_unseen_pairs <= r.n_bigrams
+        assert 0 <= r.n_unseen_ctx <= r.n_unseen_pairs
+        # ce bounded by ln of the largest smoothed denominator
         assert r.ce_micro < 20_000_000_000
 
 

@@ -45,7 +45,7 @@ class QuerySpec:
 # (2) new round-9 additions (round56.py+), in ship order:
 # profile_orders_approx (rows-only),
 # lineitem_ship_delay_percentiles_approx (rows-only),
-# text_bigram_lm_perplexity, orders_cusum_changepoint,
+# text_bigram_lm_heldout, orders_cusum_changepoint,
 # sample_weighted_systematic, lineitem_theil_sen,
 # text_repeated_span_coverage, events_kruskal_wallis,
 # lineitem_multiple_ols, orders_scd2_intervals,
