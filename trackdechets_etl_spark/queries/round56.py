@@ -31,10 +31,13 @@ and a Theil–Sen robust slope.
   == floor, both engines).
 - ``orders_cusum_changepoint``: CUSUM change-point scan over the
   daily revenue series — the top-5 days maximizing
-  ``|n*prefix_i - i*total|`` (the cross-multiplied form of
-  ``|prefix_i - i*mean|``, verdict-approved integer-exact discipline:
-  no float mean, decimal(38,0) end-to-end). The drift/level-shift
-  detector every ingest monitor wants next to the PSI report.
+  ``|n*prefix_i - i*total|``. This is the INTEGER-EXACT form of the
+  CUSUM statistic round6's ``events_cusum_changepoint`` computes with
+  a float running mean: cross-multiplying by n removes the float mean
+  entirely (decimal(38,0)/HUGEINT end-to-end), the series is the
+  global revenue line rather than per-type counts, and the output is
+  the top-5 ranked shift candidates instead of a single argmax — the
+  form you run when cents must reconcile to the ledger.
 - ``sample_weighted_systematic``: EXACT weighted sampling without
   ln/rand — deterministic systematic sampling on the md5-ordered
   weight prefix: rows whose cumulative-cents interval crosses a

@@ -52,10 +52,13 @@ curve, and a time-weighted average.
   per-mille recall). This is the query that CHOOSES n_planes for the
   production ANN/kNN paths.
 - ``events_twap_daily``: daily time-weighted average of ``value`` —
-  each event weighted by the microseconds until the user's next event
-  that day (the canonical finance/IoT TWAP shape). Integer-exact:
-  cents x micros products summed in decimal(38,0), final value an
-  integer floor division (twap floor in cents).
+  each event weighted by the microseconds until the SAME USER's next
+  event that day. Differs from round6's ``events_twap`` (per
+  event-type hold-weighted mean, float at the end) in grouping
+  (per user-day holds rolled up to a calendar-day series — the
+  ops-dashboard shape), and in exactness: cents x micros products
+  summed in decimal(38,0) with an integer floor division at the end —
+  no float appears anywhere.
 
 Scale notes in docs/SCALE.md §round-9 second batch; invariant tests
 in tests/test_round57.py. Reference parity: extends the reference's

@@ -6,8 +6,10 @@ randomness tests and the repeated-span length ladder.
   statistic, all derived from EXACT decimal(38,0) raw power sums
   (S1..S4) in one scan; the central-moment algebra runs in doubles
   whose expression trees are mirrored verbatim in the oracle, so the
-  emitted statistics are bit-reproducible. The moments pattern of the
-  Pearson/ANOVA rows extended to 3rd/4th order.
+  emitted statistics are bit-reproducible. Builds on round5's
+  ``agg_stats_suite`` raw-moment skew/kurtosis and adds the actual
+  hypothesis-test statistic (JB = n/6 (S² + K²/4)) those moments
+  feed — the normality GATE, not just the descriptive moments.
 - ``lineitem_welch_ttest``: Welch's unequal-variance t-test of
   extended price between return flags 'R' and 'A' — means/variances
   from exact cents sums, t and the Welch–Satterthwaite df evaluated
