@@ -43,9 +43,11 @@ and a Theil–Sen robust slope.
   weight prefix: rows whose cumulative-cents interval crosses a
   multiple of ``total div k`` are selected (selection probability
   proportional to weight, fixed sample size, reproducible). The
-  prefix is the distributed exact global prefix sum
-  (operators/ranking.py — range exchange + offset frame, no
-  single-partition window).
+  integer-exact alternative to round4's Efraimidis–Spirakis
+  ``sample_weighted_reservoir`` (float ln-keys): systematic selection
+  has zero float boundaries and a hard size guarantee. The prefix is
+  the distributed exact global prefix sum (operators/ranking.py —
+  range exchange + offset frame, no single-partition window).
 - ``lineitem_theil_sen``: Theil–Sen robust slope of quantity vs
   discount — the weighted median of pairwise-cell slopes over the
   (discount, quantity) aggregate grid (<= 550 cells, the Kendall

@@ -9,7 +9,11 @@ curve, and a time-weighted average.
   8-gram shingle position is checked against the corpus-wide shingle
   owner count; a position is "duplicated" when its shingle appears in
   more than one document. Integer outputs only (per-mille rate via
-  floor division).
+  floor division). Same span family as round7's
+  ``text_repeated_ngrams`` but the inverse projection: that query
+  ranks the worst offending SPANS corpus-wide; this one scores each
+  DOCUMENT by how much of it is duplicated elsewhere — the per-doc
+  filter signal a curation pipeline thresholds on.
 - ``events_kruskal_wallis``: Kruskal–Wallis H rank test of ``value``
   across the five event types — the k-group extension of the
   Mann-Whitney row, on the identical DISTINCT-cents value-frame
@@ -42,9 +46,11 @@ curve, and a time-weighted average.
   only then compared through identical double expressions, so the
   flag is deterministic across engines at any scale. The SPC
   companion to the error-budget burn and debounced-alert rows.
-- ``sim_recall_curve_nplanes``: the LSH calibration curve in ONE
-  pass — recall@10 of the hyperplane-LSH bucket retrieval vs the
-  exact top-10, for n_planes in {2, 4, 6, 8} simultaneously. Buckets
+- ``sim_recall_curve_nplanes``: the LSH calibration CURVE in ONE
+  pass — where ``sim_lsh_recall`` (advanced.py) evaluates the one
+  production config, this sweeps recall@10 of the hyperplane-LSH
+  bucket retrieval vs the exact top-10 for n_planes in {2, 4, 6, 8}
+  simultaneously. Buckets
   are nested by construction (plane p is bit p, so the P-plane bucket
   is ``bucket8 % 2^P``), so one 8-plane bucket computation serves
   every config; probes and corpus explode onto the 4 configs and meet
