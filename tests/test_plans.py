@@ -400,6 +400,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # day-frame lag over the distinct-day count series — calendar
     # bound, the orders_cusum_changepoint contract.
     "events_runs_test",
+    # inclusive cumulative counts over the distinct-cents value frame —
+    # the events_two_sample_ks bound.
+    "events_quantile_treatment_effect",
 }
 
 

@@ -51,7 +51,8 @@ class QuerySpec:
 # lineitem_multiple_ols, orders_scd2_intervals,
 # sim_recall_curve_nplanes, events_twap_daily, events_pchart_control,
 # lineitem_jarque_bera, lineitem_welch_ttest, orders_diff_in_diff,
-# events_runs_test, text_repeated_span_ladder;
+# events_runs_test, text_repeated_span_ladder,
+# graph_harmonic_centrality_top, events_quantile_treatment_effect;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
@@ -181,6 +182,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round56,
         round57,
         round58,
+        round59,
         scale,
         tpch2,
         training,
@@ -251,6 +253,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round56,
         round57,
         round58,
+        round59,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
