@@ -52,7 +52,10 @@ class QuerySpec:
 # sim_recall_curve_nplanes, events_twap_daily, events_pchart_control,
 # lineitem_jarque_bera, lineitem_welch_ttest, orders_diff_in_diff,
 # events_runs_test, text_repeated_span_ladder,
-# graph_harmonic_centrality_top, events_quantile_treatment_effect;
+# graph_harmonic_centrality_top, events_quantile_treatment_effect,
+# orders_psi_price_drift, events_mutual_information,
+# lineitem_cramers_v, events_mann_kendall_trend, part_skyline_2d,
+# orders_poisson_bootstrap_ci;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
@@ -183,6 +186,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round57,
         round58,
         round59,
+        round60,
         scale,
         tpch2,
         training,
@@ -254,6 +258,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round57,
         round58,
         round59,
+        round60,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

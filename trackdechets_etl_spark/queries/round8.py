@@ -3,7 +3,10 @@ training-pipeline operators.
 
 - ``parts_skyline_2d``: Pareto frontier (min price, max size) via the
   sorted-window running-max trick — O(n log n), vs the oracle's
-  obviously-correct quadratic NOT EXISTS.
+  obviously-correct quadratic NOT EXISTS. Round60's
+  ``part_skyline_2d`` is the sort-free scale twin (bounded-domain
+  prefix-min, no single-partition window); tests pin the two
+  frontiers identical.
 - ``orders_prorate_cents``: largest-remainder cent allocation of an
   order total across its line items — exact integer arithmetic, sums
   reconcile to the cent by construction.
