@@ -403,6 +403,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # inclusive cumulative counts over the distinct-cents value frame —
     # the events_two_sample_ks bound.
     "events_quantile_treatment_effect",
+    # day-frame cumulative LLR over the distinct-day series — calendar
+    # bound, the orders_cusum_changepoint contract.
+    "events_sprt_ab",
 }
 
 

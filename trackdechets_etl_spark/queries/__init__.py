@@ -187,6 +187,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round58,
         round59,
         round60,
+        round61,
         scale,
         tpch2,
         training,
@@ -259,6 +260,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round58,
         round59,
         round60,
+        round61,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
