@@ -55,7 +55,9 @@ class QuerySpec:
 # graph_harmonic_centrality_top, events_quantile_treatment_effect,
 # orders_psi_price_drift, events_mutual_information,
 # lineitem_cramers_v, events_mann_kendall_trend, part_skyline_2d,
-# orders_poisson_bootstrap_ci;
+# orders_poisson_bootstrap_ci, events_sprt_ab, dq_l_diversity,
+# text_heaps_law_fit, embedding_isotropy_score,
+# orders_propensity_stratified_ate, sample_neyman_allocation;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
@@ -188,6 +190,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round59,
         round60,
         round61,
+        round62,
         scale,
         tpch2,
         training,
@@ -261,6 +264,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round59,
         round60,
         round61,
+        round62,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
