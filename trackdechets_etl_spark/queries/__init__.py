@@ -57,7 +57,10 @@ class QuerySpec:
 # lineitem_cramers_v, events_mann_kendall_trend, part_skyline_2d,
 # orders_poisson_bootstrap_ci, events_sprt_ab, dq_l_diversity,
 # text_heaps_law_fit, embedding_isotropy_score,
-# orders_propensity_stratified_ate, sample_neyman_allocation;
+# orders_propensity_stratified_ate, sample_neyman_allocation,
+# text_good_turing_mass, embedding_effective_dim,
+# orders_jackknife_mean_se, sim_silhouette_lsh,
+# lineitem_roc_auc_discount, customer_spend_hill_tail;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
