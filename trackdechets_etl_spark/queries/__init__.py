@@ -194,6 +194,8 @@ def all_queries() -> dict[str, QuerySpec]:
         round60,
         round61,
         round62,
+        round63,
+        round64,
         scale,
         tpch2,
         training,
@@ -268,6 +270,8 @@ def all_queries() -> dict[str, QuerySpec]:
         round60,
         round61,
         round62,
+        round63,
+        round64,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
