@@ -60,7 +60,13 @@ class QuerySpec:
 # orders_propensity_stratified_ate, sample_neyman_allocation,
 # text_good_turing_mass, embedding_effective_dim,
 # orders_jackknife_mean_se, sim_silhouette_lsh,
-# lineitem_roc_auc_discount, customer_spend_hill_tail;
+# lineitem_roc_auc_discount, customer_spend_hill_tail,
+# lineitem_logistic_irls, sim_rrf_hybrid, orders_conformal_interval,
+# orders_kfold_cv_rmse, events_overdispersion_index,
+# events_ab_power_mde, embedding_bucket_label_eval,
+# lineitem_decision_stump, supplier_eb_shrinkage,
+# events_shapley_attribution, part_price_index,
+# graph_modularity_nation;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
