@@ -202,6 +202,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round62,
         round63,
         round64,
+        round65,
         scale,
         tpch2,
         training,
@@ -278,6 +279,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round62,
         round63,
         round64,
+        round65,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
