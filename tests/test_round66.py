@@ -1,0 +1,299 @@
+"""Invariant tests for round66 (reco holdout, FD audit, RBO, source
+diversity, growth accounting, exponential fit) — independent Python
+replays at sf0.001."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from trackdechets_etl_spark.session import get_spark
+
+    return get_spark()
+
+
+def _q(name):
+    return all_queries()[name].fn
+
+
+# ---------------------------------------------- reco holdout eval
+
+
+def test_reco_holdout_matches_replay(spark):
+    li = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    od = {
+        r.o_orderkey: (r.o_custkey, r.o_orderdate)
+        for r in read_table(spark, SF_DIR, "orders").collect()
+    }
+    last = {}
+    for r in li:
+        c, d = od[r.l_orderkey]
+        k = (c, r.l_suppkey)
+        if k not in last or d > last[k]:
+            last[k] = d
+    held = {}
+    for (c, s), d in last.items():
+        if c not in held or (d, s) > held[c][:2]:
+            held[c] = (d, s)
+    held = {c: s for c, (d, s) in held.items()}
+    train = defaultdict(set)
+    for (c, s) in last:
+        if s != held[c]:
+            train[c].add(s)
+    pop = Counter(s for c, ss in train.items() for s in ss)
+    toppop = sorted(pop, key=lambda s: (-pop[s], s))[:20]
+    pop_hits = 0
+    for c, h in held.items():
+        cands = [s for s in toppop if s not in train[c]][:5]
+        pop_hits += int(h in cands)
+    co = Counter()
+    for c, ss in train.items():
+        ss = sorted(ss)
+        for i, s1 in enumerate(ss):
+            for s2 in ss[i + 1 :]:
+                co[(s1, s2)] += 1
+
+    def co_get(a, b):
+        return co.get((min(a, b), max(a, b)), 0)
+
+    co_hits = 0
+    for c, h in held.items():
+        scores = Counter()
+        for s in train[c]:
+            for (a, b), v in co.items():
+                if a == s:
+                    scores[b] += v
+                elif b == s:
+                    scores[a] += v
+        cands = [
+            s
+            for s in sorted(scores, key=lambda x: (-scores[x], x))
+            if s not in train[c]
+        ][:5]
+        co_hits += int(h in cands)
+    out = {r.strategy: r for r in _q("reco_holdout_hitrate")(spark, SF_DIR).collect()}
+    assert set(out) == {"popularity", "cooccurrence"}
+    nu = len(held)
+    assert out["popularity"].n_users == nu
+    assert out["popularity"].hits == pop_hits
+    assert out["cooccurrence"].hits == co_hits
+    assert abs(out["popularity"].hit_rate - pop_hits / nu) < 1e-5
+    assert abs(out["cooccurrence"].hit_rate - co_hits / nu) < 1e-5
+    for r in out.values():
+        assert 0.0 <= r.hit_rate <= 1.0
+
+
+# ----------------------------------------- functional dependencies
+
+
+def test_fd_matches_replay(spark):
+    orows = read_table(spark, SF_DIR, "orders").collect()
+    lrows = read_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    ).collect()
+
+    def check(pairs):
+        groups = defaultdict(set)
+        for k, v in pairs:
+            groups[k].add(v)
+        viol = sum(1 for s in groups.values() if len(s) > 1)
+        return len(groups), viol, int(viol == 0)
+
+    exp = {
+        "o_orderkey->o_custkey": check(
+            (r.o_orderkey, r.o_custkey) for r in orows
+        ),
+        "o_custkey->o_orderpriority": check(
+            (r.o_custkey, r.o_orderpriority) for r in orows
+        ),
+        "o_orderdate->o_orderpriority": check(
+            (r.o_orderdate, r.o_orderpriority) for r in orows
+        ),
+        "l_orderkey->l_suppkey": check(
+            (r.l_orderkey, r.l_suppkey) for r in lrows
+        ),
+        "l_partkey->l_suppkey": check(
+            (r.l_partkey, r.l_suppkey) for r in lrows
+        ),
+        "l_orderkey,l_linenumber->l_partkey": check(
+            ((r.l_orderkey, r.l_linenumber), r.l_partkey)
+            for r in lrows
+        ),
+    }
+    out = {r.fd: r for r in _q("dq_functional_dependencies")(spark, SF_DIR).collect()}
+    assert set(out) == set(exp)
+    for fd, (ng, viol, holds) in exp.items():
+        r = out[fd]
+        assert (r.n_groups, r.violating_groups, r.holds) == (
+            ng,
+            viol,
+            holds,
+        )
+    # the PK dependency must hold; the synthetic duplicate-linenumber
+    # quirk must be caught
+    assert out["o_orderkey->o_custkey"].holds == 1
+    assert out["l_orderkey,l_linenumber->l_partkey"].holds == 0
+
+
+# ------------------------------------------------------ top-k RBO
+
+
+def test_rbo_matches_replay(spark):
+    rows = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    mx = max(r.doc_id for r in rows)
+    cnt = [Counter(), Counter()]
+    for r in rows:
+        era = int(r.doc_id * 2 > mx)
+        for w in r.text.split(" "):
+            if w:
+                cnt[era][w] += 1
+    lists = [
+        sorted(c, key=lambda w: (-c[w], w))[:20] for c in cnt
+    ]
+    ra = {w: i + 1 for i, w in enumerate(lists[0])}
+    rb = {w: i + 1 for i, w in enumerate(lists[1])}
+    joint = {w: max(ra[w], rb[w]) for w in set(ra) & set(rb)}
+    p = 0.9
+    rbo = sum(
+        (1 - p)
+        * p ** (d - 1)
+        * sum(1 for m in joint.values() if m <= d)
+        / d
+        for d in range(1, 21)
+    )
+    out = _q("text_topk_rbo_eras")(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.depth == 20
+    assert abs(r.rbo_trunc - rbo) < 1e-5
+    assert r.overlap_at_depth == len(joint)
+    # truncated RBO is a partial sum of a probability-weighted series
+    assert 0.0 <= r.rbo_trunc <= 1.0
+
+
+# ------------------------------------------------ source diversity
+
+
+def test_source_diversity_matches_replay(spark):
+    rows = read_table(spark, SF_DIR, "documents").select("source").collect()
+    c = Counter(r.source for r in rows)
+    n = sum(c.values())
+    ps = [v / n for v in c.values()]
+    h = -sum(p * math.log(p) for p in ps)
+    out = _q("text_source_diversity")(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.richness, r.n_docs) == (len(c), n)
+    assert abs(r.shannon_h - h) < 1e-5
+    assert abs(r.evenness - h / math.log(len(c))) < 1e-5
+    assert abs(r.simpson - (1 - sum(p * p for p in ps))) < 1e-5
+    assert abs(r.berger_parker - max(ps)) < 1e-5
+    # evenness and Simpson live in [0,1]; H ≤ ln(richness)
+    assert 0.0 <= r.evenness <= 1.0
+    assert 0.0 <= r.simpson <= 1.0
+
+
+# --------------------------------------------- growth accounting
+
+
+def test_growth_accounting_matches_replay(spark):
+    rows = read_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    cm = {
+        (r.o_custkey, r.o_orderdate.year * 12 + r.o_orderdate.month)
+        for r in rows
+    }
+    firsts = {}
+    for c, m in cm:
+        firsts[c] = min(firsts.get(c, m), m)
+    months = sorted({m for _, m in cm})
+    exp = {}
+    for m in months:
+        act = {c for c, mm in cm if mm == m}
+        new = {c for c in act if firsts[c] == m}
+        ret = {c for c in act if (c, m - 1) in cm}
+        res = act - new - ret
+        churn = {
+            c for c, mm in cm if mm == m - 1 and (c, m) not in cm
+        }
+        exp[m] = (len(act), len(new), len(ret), len(res), len(churn))
+    out = {
+        r.yyyymm: r
+        for r in _q("orders_growth_accounting")(spark, SF_DIR).collect()
+    }
+    for m, (na, nn_, nr, nres, nch) in exp.items():
+        yyyymm = ((m - 1) // 12) * 100 + ((m - 1) % 12) + 1
+        r = out[yyyymm]
+        assert (
+            r.n_active,
+            r.n_new,
+            r.n_retained,
+            r.n_resurrected,
+        ) == (na, nn_, nr, nres)
+        assert r.n_churned == nch
+        # decomposition identity: active = new + retained + resurrected
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+        if nch:
+            assert abs(r.quick_ratio - (nn_ + nres) / nch) < 1e-3
+
+
+# ------------------------------------------ interarrival exp fit
+
+
+def test_exp_fit_matches_replay(spark):
+    rows = read_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        us = int(r.ts.timestamp() * 1_000_000)
+        by_user[r.user_id].append((us // 1_000_000, r.event_id))
+    ds = []
+    for u, ss in by_user.items():
+        ss.sort()
+        for (a, _), (b, eid) in zip(ss, ss[1:]):
+            if b - a >= 1:
+                ds.append((b - a, u, eid))
+    ds.sort()
+    n = len(ds)
+    sd = sum(d for d, _, _ in ds)
+    sdd = sum(d * d for d, _, _ in ds)
+    mean = sd / n
+    cv2 = ((n * sdd - sd * sd) / (n - 1)) / mean / mean / n
+    xs = [d for d, _, _ in ds]
+    ys = [
+        round(-math.log(1 - (i - 0.3) / (n + 0.4)) * 1e6)
+        for i in range(1, n + 1)
+    ]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    r2 = (n * sxy - sx * sy) ** 2 / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    out = _q("events_interarrival_exp_fit")(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == n
+    assert abs(r.mean_gap_s - mean) < 1e-3
+    assert abs(r.rate_per_hour - 3600 / mean) < 1e-3
+    assert abs(r.cv2 - cv2) < 1e-4
+    assert abs(r.qq_r2 - r2) < 1e-4
+    assert 0.0 <= r.qq_r2 <= 1.0
+    assert r.cv2 > 0

@@ -203,6 +203,8 @@ def all_queries() -> dict[str, QuerySpec]:
         round63,
         round64,
         round65,
+        round66,
+        round67,
         scale,
         tpch2,
         training,
@@ -280,6 +282,8 @@ def all_queries() -> dict[str, QuerySpec]:
         round63,
         round64,
         round65,
+        round66,
+        round67,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
