@@ -48,10 +48,22 @@ def test_reco_holdout_matches_replay(spark):
         if c not in held or (d, s) > held[c][:2]:
             held[c] = (d, s)
     held = {c: s for c, (d, s) in held.items()}
+    import hashlib
+
     train = defaultdict(set)
     for (c, s) in last:
         if s != held[c]:
             train[c].add(s)
+    # replay the md5 degree cap (16 per customer)
+    for c in list(train):
+        ss = sorted(
+            train[c],
+            key=lambda s: (
+                hashlib.md5(f"{c}_{s}".encode()).hexdigest(),
+                s,
+            ),
+        )[:16]
+        train[c] = set(ss)
     pop = Counter(s for c, ss in train.items() for s in ss)
     toppop = sorted(pop, key=lambda s: (-pop[s], s))[:20]
     pop_hits = 0
@@ -64,19 +76,23 @@ def test_reco_holdout_matches_replay(spark):
         for i, s1 in enumerate(ss):
             for s2 in ss[i + 1 :]:
                 co[(s1, s2)] += 1
-
-    def co_get(a, b):
-        return co.get((min(a, b), max(a, b)), 0)
-
+    co_sym = defaultdict(dict)
+    for (a, b), v in co.items():
+        co_sym[a][b] = v
+        co_sym[b][a] = v
+    # item-neighbor cap: top-16 co-partners per item
+    co_top = {
+        a: dict(
+            sorted(nb.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+        )
+        for a, nb in co_sym.items()
+    }
     co_hits = 0
     for c, h in held.items():
         scores = Counter()
         for s in train[c]:
-            for (a, b), v in co.items():
-                if a == s:
-                    scores[b] += v
-                elif b == s:
-                    scores[a] += v
+            for b, v in co_top.get(s, {}).items():
+                scores[b] += v
         cands = [
             s
             for s in sorted(scores, key=lambda x: (-scores[x], x))

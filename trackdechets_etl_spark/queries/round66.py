@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trackdechets_etl_spark.io.readers import read_table
@@ -59,6 +59,7 @@ from trackdechets_etl_spark.queries import QuerySpec
 # ---------------------------------------------- reco holdout eval
 
 _RECO_K = 5
+_RECO_DEGREE_CAP = 16
 
 
 def _reco_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,9 +81,28 @@ def _reco_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = inter.groupBy("c").agg(
         F.max(F.struct("last_d", "s")).alias("h")
     ).select("c", F.col("h.s").alias("held"))
-    train = inter.join(held, "c").filter(
+    train_full = inter.join(held, "c").filter(
         F.col("s") != F.col("held")
     ).select("c", "s")
+    # per-customer md5 degree cap (the graph_jaccard_neighbors
+    # contract): Σd² over train degrees is superlinear in SF without
+    # it — measured 122 s / 69× at sf0.1 uncapped. The oracle applies
+    # the identical cut, so the eval is self-consistent on the capped
+    # training graph.
+    wcap = Window.partitionBy("c").orderBy(
+        F.md5(
+            F.concat_ws(
+                "_", F.col("c").cast("string"), F.col("s").cast("string")
+            )
+        ),
+        F.col("s"),
+    )
+    train = (
+        train_full.withColumn("capr", F.row_number().over(wcap))
+        .filter(F.col("capr") <= _RECO_DEGREE_CAP)
+        .select("c", "s")
+        .localCheckpoint(eager=True)
+    )
     pop = (
         train.groupBy("s")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -139,9 +159,20 @@ def _reco_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s2").alias("s1"), F.col("s1").alias("s2"), "co"
         )
     )
+    # item-neighbor cap: keep only the top co-partners per item —
+    # the standard item-CF neighborhood truncation; bounds the score
+    # fan-out at |train|·cap regardless of catalog size
+    wnb = Window.partitionBy("s1").orderBy(
+        F.desc("co"), F.asc("s2")
+    )
+    co_top = (
+        co_sym.withColumn("nbr", F.row_number().over(wnb))
+        .filter(F.col("nbr") <= _RECO_DEGREE_CAP)
+        .drop("nbr")
+    )
     scores = (
         train.join(
-            co_sym.withColumnRenamed("s1", "s"), "s"
+            co_top.withColumnRenamed("s1", "s"), "s"
         )
         .groupBy("c", F.col("s2").alias("cand"))
         .agg(F.sum("co").cast("long").alias("score"))
@@ -210,8 +241,16 @@ held AS (
     SELECT inter.c, max(s) AS held
     FROM inter JOIN mxd ON inter.c = mxd.c AND last_d = md
     GROUP BY inter.c),
-train AS (
+train_full AS (
     SELECT inter.c, s FROM inter JOIN held USING (c) WHERE s <> held),
+train AS (
+    SELECT c, s FROM (
+        SELECT c, s, row_number() OVER (
+            PARTITION BY c
+            ORDER BY md5(CAST(c AS VARCHAR) || '_'
+                         || CAST(s AS VARCHAR)), s) AS capr
+        FROM train_full)
+    WHERE capr <= 16),
 pop AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM train GROUP BY s),
 toppop AS (SELECT * FROM pop ORDER BY cnt DESC, s LIMIT {_RECO_K * 4}),
 pop_cand AS (
@@ -236,9 +275,15 @@ co AS (
 co_sym AS (
     SELECT s1, s2, co FROM co
     UNION ALL SELECT s2, s1, co FROM co),
+co_top AS (
+    SELECT s1, s2, co FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY s1 ORDER BY co DESC, s2) AS nbr
+        FROM co_sym)
+    WHERE nbr <= 16),
 scores AS (
     SELECT train.c, s2 AS cand, CAST(sum(co) AS BIGINT) AS score
-    FROM train JOIN co_sym ON train.s = co_sym.s1
+    FROM train JOIN co_top ON train.s = co_top.s1
     GROUP BY train.c, s2),
 unseen AS (
     SELECT scores.c, held.held, cand, score
