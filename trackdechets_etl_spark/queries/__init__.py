@@ -66,7 +66,15 @@ class QuerySpec:
 # events_ab_power_mde, embedding_bucket_label_eval,
 # lineitem_decision_stump, supplier_eb_shrinkage,
 # events_shapley_attribution, part_price_index,
-# graph_modularity_nation;
+# graph_modularity_nation, text_rater_kappa, orders_median_ci_ranks,
+# events_markov_heldout_acc, orders_ipw_ate, events_session_weibull,
+# text_ttr_length_curve, reco_holdout_hitrate,
+# dq_functional_dependencies, text_topk_rbo_eras,
+# text_source_diversity, orders_growth_accounting,
+# events_interarrival_exp_fit, events_poisson_glm_irls,
+# orders_retention_halflife, text_burrows_delta,
+# events_seasonality_strength, sim_query_expansion_prf,
+# events_peak_hour_chernoff;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
