@@ -213,6 +213,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round65,
         round66,
         round67,
+        round68,
         scale,
         tpch2,
         training,
@@ -292,6 +293,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round65,
         round66,
         round67,
+        round68,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
