@@ -74,7 +74,10 @@ class QuerySpec:
 # events_interarrival_exp_fit, events_poisson_glm_irls,
 # orders_retention_halflife, text_burrows_delta,
 # events_seasonality_strength, sim_query_expansion_prf,
-# events_peak_hour_chernoff;
+# events_peak_hour_chernoff, lineitem_two_way_anova,
+# embedding_triplet_eval, part_croston_intermittent,
+# graph_rich_club, events_markov_entropy_rate,
+# supplier_composite_scorecard;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
