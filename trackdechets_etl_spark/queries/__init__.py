@@ -217,6 +217,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round66,
         round67,
         round68,
+        round69,
         scale,
         tpch2,
         training,
@@ -297,6 +298,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round66,
         round67,
         round68,
+        round69,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
