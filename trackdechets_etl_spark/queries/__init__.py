@@ -77,7 +77,10 @@ class QuerySpec:
 # events_peak_hour_chernoff, lineitem_two_way_anova,
 # embedding_triplet_eval, part_croston_intermittent,
 # graph_rich_club, events_markov_entropy_rate,
-# supplier_composite_scorecard;
+# supplier_composite_scorecard, sim_ivf_recall_curve,
+# orders_newsvendor_stock, events_pacf_lags,
+# orders_wasserstein_price_eras, orders_ar1_backtest,
+# text_tokenizer_fertility;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
