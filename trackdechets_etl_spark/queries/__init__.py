@@ -221,6 +221,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round67,
         round68,
         round69,
+        round70,
         scale,
         tpch2,
         training,
@@ -302,6 +303,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round67,
         round68,
         round69,
+        round70,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
