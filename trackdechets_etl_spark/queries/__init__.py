@@ -80,7 +80,10 @@ class QuerySpec:
 # supplier_composite_scorecard, sim_ivf_recall_curve,
 # orders_newsvendor_stock, events_pacf_lags,
 # orders_wasserstein_price_eras, orders_ar1_backtest,
-# text_tokenizer_fertility;
+# text_tokenizer_fertility, text_kn_vs_mle_heldout,
+# events_dft_weekly_power, training_temperature_mixture,
+# dedup_token_savings, part_price_dispersion_nations,
+# orders_simpson_paradox_check;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
