@@ -225,6 +225,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round68,
         round69,
         round70,
+        round71,
         scale,
         tpch2,
         training,
@@ -307,6 +308,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round68,
         round69,
         round70,
+        round71,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
