@@ -83,7 +83,10 @@ class QuerySpec:
 # text_tokenizer_fertility, text_kn_vs_mle_heldout,
 # events_dft_weekly_power, training_temperature_mixture,
 # dedup_token_savings, part_price_dispersion_nations,
-# orders_simpson_paradox_check;
+# orders_simpson_paradox_check, sample_class_balanced,
+# embedding_hubness_score, orders_interorder_gamma_fit,
+# lineitem_rdd_discount5, orders_lognormal_fit,
+# graph_degree_powerlaw;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
