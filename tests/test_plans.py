@@ -406,6 +406,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # day-frame cumulative LLR over the distinct-day series — calendar
     # bound, the orders_cusum_changepoint contract.
     "events_sprt_ab",
+    # cumulative counts over the distinct-cents value frame — the
+    # events_two_sample_ks bound, L² statistic.
+    "events_cramer_von_mises",
 }
 
 

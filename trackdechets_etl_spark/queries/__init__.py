@@ -229,6 +229,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round69,
         round70,
         round71,
+        round72,
         scale,
         tpch2,
         training,
@@ -312,6 +313,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round69,
         round70,
         round71,
+        round72,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
