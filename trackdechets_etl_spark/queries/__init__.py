@@ -86,7 +86,7 @@ class QuerySpec:
 # orders_simpson_paradox_check, sample_class_balanced,
 # embedding_hubness_score, orders_interorder_gamma_fit,
 # lineitem_rdd_discount5, orders_lognormal_fit,
-# graph_degree_powerlaw;
+# graph_degree_powerlaw, events_cramer_von_mises;
 # (3) remaining stale round-3 greens, registry order: events_gap_fill,
 # sample_stratified_per_group, unpivot_measures, join_null_safe,
 # agg_conditional, agg_collect_sorted, sample_hash_deterministic,
