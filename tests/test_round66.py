@@ -29,6 +29,34 @@ def _q(name):
 # ---------------------------------------------- reco holdout eval
 
 
+def test_reco_holdout_plan_has_no_rank_self_joins(spark):
+    """Pin the round-10 restructure: per-user candidate ranking is
+    array top-k, not the former broadcast LeftOuter self-join count
+    passes. Every BroadcastNestedLoopJoin left in the plan must be a
+    Cross BuildRight scalar attachment (the 1-row toppop array and
+    n_users frames); the degree-cap row_number must keep its
+    WindowGroupLimit pushdown."""
+    df = _q("reco_holdout_hitrate")(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin LeftOuter" not in plan, (
+        "rank pass regressed to the pre-round-10 broadcast self-join"
+    )
+    bnlj = [
+        ln
+        for ln in plan.splitlines()
+        if "+- BroadcastNestedLoopJoin" in ln
+        or ":- BroadcastNestedLoopJoin" in ln
+    ]
+    assert bnlj and all("Cross BuildRight" in ln for ln in bnlj), bnlj
+    assert "WindowGroupLimit" in plan, (
+        "degree-cap row_number lost its group-limit pushdown"
+    )
+
+
 def test_reco_holdout_matches_replay(spark):
     li = read_table(spark, SF_DIR, "lineitem").select(
         "l_orderkey", "l_suppkey"
