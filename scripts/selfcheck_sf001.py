@@ -1,5 +1,8 @@
 """Driver-mirror correctness pass at sf0.01 (the driver's t2 scale).
 
+Set SELFCHECK_SF_DIR to run the same compare at another scale (e.g.
+/root/testdata/sf0.1 for the 10x determinism probe).
+
 Runs every registry query in Spark AND DuckDB-oracle, canonicalizes
 like the driver (sort columns by name, order-insensitive row compare),
 prints one line per query and a final summary. Exit 1 on any mismatch.
@@ -18,7 +21,7 @@ import duckdb
 from trackdechets_etl_spark.queries import all_queries
 from trackdechets_etl_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SELFCHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"

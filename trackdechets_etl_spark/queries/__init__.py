@@ -43,7 +43,11 @@ class QuerySpec:
 # plan changes after its green row this round (tracked in this comment
 # as they happen): reco_holdout_hitrate (rank passes collapsed per the
 # round-9 verdict ask #3 — it has never had a driver row, so it simply
-# stays queued below);
+# stays queued below); events_range_window, events_gap_ffill,
+# tpch_q2_min_price_supplier (round-10 sf0.1 determinism-probe fixes:
+# integer-microsecond range keys / integer-cents sums / pre-multiplied
+# 4dp rounds — each re-greened at sf0.001+sf0.01+sf0.1 after the fix;
+# these three take the FIRST r11 window slots);
 # (2) the remaining 43 never-driver-checked round-9 additions, in ship
 # order:
 # text_rater_kappa, orders_median_ci_ranks, events_markov_heldout_acc,

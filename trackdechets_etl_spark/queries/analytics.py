@@ -185,32 +185,40 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 def _events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing one-hour RANGE frame per user (value-based, not
     row-count-based): each event sees the sum/count of the SAME user's
-    events in (ts - 1h, ts]. Spark expresses interval ranges on the
-    epoch-seconds ordering column; same shuffle profile as a rows
-    frame — one partition pass."""
+    events in (ts - 1h, ts]. The range key is INTEGER EPOCH
+    MICROSECONDS on both engines — the sf0.1 determinism probe caught
+    the earlier whole-second Spark key vs fractional DuckDB epoch()
+    disagreeing on pairs inside the sub-second boundary band. The
+    trailing sum is an exact integer cents sum (per-row values carry
+    2dp), so the window total is association-order-free."""
     e = read_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600 + 1, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000 + 1, 0)
     )
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("long")
     return e.select(
         "event_id",
         "user_id",
         "ts",
         F.count("*").over(w).cast("long").alias("n_trailing_1h"),
-        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+        (F.sum(cents).over(w).cast("double") / F.lit(100.0)).alias(
+            "sum_trailing_1h"
+        ),
     )
 
 
 EVENTS_RANGE_WINDOW_SQL = """
 SELECT event_id, user_id, ts,
        CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
-       round(sum(value) OVER w, 2) AS sum_trailing_1h
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER w AS DOUBLE)
+           / 100.0 AS sum_trailing_1h
 FROM events
 WINDOW w AS (
-    PARTITION BY user_id ORDER BY epoch(ts)
-    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    PARTITION BY user_id
+    ORDER BY date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
 """
 
 

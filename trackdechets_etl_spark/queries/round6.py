@@ -52,9 +52,22 @@ def _events_gap_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     query. Hours before a type's first event stay null (nothing to
     carry)."""
     e = read_table(spark, sf_dir, "events")
+    # Exact integer cents sum (values carry 2dp) -> the hourly average
+    # is one IEEE division of identical integers on both engines, and
+    # the 4dp round happens in pre-multiplied integer space — the
+    # sf0.1 determinism probe caught avg(value)'s float-sum
+    # association order crossing the 4dp boundary between engines.
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("long")
     agg = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
-    ).agg(F.count(F.lit(1)).alias("__n"), F.avg("value").alias("__av"))
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(
+            (F.sum(cents) * F.lit(100)).cast("double") / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("__avx"),
+    )
     agg = agg.localCheckpoint(eager=False)  # 3 consumers, one shuffle
     bounds = agg.agg(
         F.min("bucket_ts").alias("h0"), F.max("bucket_ts").alias("h1")
@@ -77,9 +90,10 @@ def _events_gap_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "bucket_ts",
         F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
-        F.round(F.last("__av", ignorenulls=True).over(w), 4).alias(
-            "avg_value_ffill"
-        ),
+        (
+            F.last("__avx", ignorenulls=True).over(w).cast("double")
+            / F.lit(10000.0)
+        ).alias("avg_value_ffill"),
     )
 
 
@@ -93,19 +107,21 @@ spine AS (
 types AS (SELECT DISTINCT event_type FROM events),
 agg AS (
     SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-           count(*) AS n, avg(value) AS av
+           count(*) AS n,
+           CAST(round(CAST(sum(CAST(round(value * 100.0) AS BIGINT))
+                           * 100 AS DOUBLE) / count(*)) AS BIGINT) AS avx
     FROM events GROUP BY 1, 2),
 grid AS (
-    SELECT t.event_type, s.bucket_ts, a.n, a.av
+    SELECT t.event_type, s.bucket_ts, a.n, a.avx
     FROM spine s CROSS JOIN types t
     LEFT JOIN agg a
       ON a.event_type = t.event_type AND a.bucket_ts = s.bucket_ts)
 SELECT event_type, bucket_ts,
        CAST(coalesce(n, 0) AS BIGINT) AS n_events,
-       round(last_value(av IGNORE NULLS) OVER (
+       CAST(last_value(avx IGNORE NULLS) OVER (
            PARTITION BY event_type ORDER BY bucket_ts
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-           AS avg_value_ffill
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 10000.0 AS avg_value_ffill
 FROM grid
 """
 

@@ -483,7 +483,16 @@ def _q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "p_partkey",
-            F.round("price", 4).alias("min_price"),
+            # 4dp round in pre-multiplied integer space: both engines
+            # round the IDENTICAL double price*10000 to an integer
+            # (away-from-zero on both), instead of each applying its
+            # own round(x, 4) — whose intermediates differ and
+            # disagreed on a boundary value at sf0.1 (determinism
+            # probe, round 10).
+            (
+                F.round(F.col("price") * F.lit(10000.0)).cast("long")
+                / F.lit(10000.0)
+            ).alias("min_price"),
         )
     )
 
@@ -499,7 +508,8 @@ WITH offers AS (
     JOIN region ON n_regionkey = r_regionkey
     WHERE p_type = 'STANDARD' AND p_size <= 10 AND r_name = 'EUROPE'
     GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name)
-SELECT s_acctbal, s_name, n_name, p_partkey, round(price, 4) AS min_price
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(round(price * 10000.0) AS BIGINT) / 10000.0 AS min_price
 FROM offers o
 WHERE price = (SELECT min(price) FROM offers o2 WHERE o2.p_partkey = o.p_partkey)
 """
