@@ -251,11 +251,12 @@ pop_cand AS (
     WHERE NOT EXISTS (SELECT 1 FROM train
                       WHERE train.c = held.c AND train.s = t.s)),
 pop_rk AS (
-    SELECT a.c, a.held, a.s,
-           1 + count(b.s) AS rk
-    FROM pop_cand a LEFT JOIN pop_cand b
-      ON a.c = b.c AND (b.cnt > a.cnt OR (b.cnt = a.cnt AND b.s < a.s))
-    GROUP BY a.c, a.held, a.s, a.cnt),
+    -- row_number over the strict total order (cnt DESC, s) equals
+    -- 1 + count(strictly better) — linear, where the count self-join
+    -- was quadratic per user (impractical in DuckDB at sf0.1)
+    SELECT c, held, s, row_number() OVER (
+        PARTITION BY c ORDER BY cnt DESC, s) AS rk
+    FROM pop_cand),
 pop_hits AS (
     SELECT c, max(CASE WHEN s = held AND rk <= {_RECO_K}
                        THEN 1 ELSE 0 END) AS hit
@@ -283,11 +284,9 @@ unseen AS (
     WHERE NOT EXISTS (SELECT 1 FROM train
                       WHERE train.c = scores.c AND train.s = cand)),
 co_rk AS (
-    SELECT a.c, a.held, a.cand, 1 + count(b.cand) AS rk
-    FROM unseen a LEFT JOIN unseen b
-      ON a.c = b.c AND (b.score > a.score
-                        OR (b.score = a.score AND b.cand < a.cand))
-    GROUP BY a.c, a.held, a.cand, a.score),
+    SELECT c, held, cand, row_number() OVER (
+        PARTITION BY c ORDER BY score DESC, cand) AS rk
+    FROM unseen),
 co_hits AS (
     SELECT c, max(CASE WHEN cand = held AND rk <= {_RECO_K}
                        THEN 1 ELSE 0 END) AS hit
