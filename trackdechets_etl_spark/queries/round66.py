@@ -154,12 +154,24 @@ def _reco_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_topk_contains_held(F.col("tp"), "s").alias("hit"))
         .agg(F.sum("hit").cast("long").alias("hits"))
     )
-    # co-occurrence: score(c, s) = Σ_{s' ∈ train(c)} co(s', s)
-    t1 = train.select("c", F.col("s").alias("s1"))
-    t2 = train.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    # co-occurrence: score(c, s) = Σ_{s' ∈ train(c)} co(s', s).
+    # The s1 < s2 pair multiset comes straight from the per-user
+    # sorted train arrays (≤ C(CAP,2) = 120 pairs per user, generated
+    # map-side by nested array transforms) — identical to the former
+    # train-with-train self-join, minus the join.
+    sarr = F.array_sort(F.col("seen_arr"))
+    pair_arr = F.flatten(
+        F.transform(
+            sarr,
+            lambda x, i: F.transform(
+                F.slice(sarr, i + 2, F.size(sarr)),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
     co = (
-        t1.join(t2, (F.col("c") == F.col("c2")) & (F.col("s1") < F.col("s2")))
-        .groupBy("s1", "s2")
+        user.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
     )
     co_sym = co.unionByName(
