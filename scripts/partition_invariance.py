@@ -8,10 +8,14 @@ Round-10 result: 396/396 invariant — the integer-cents / micro-unit /
 decimal-sum determinism contracts (docs/SCALE.md) hold under
 re-partitioning, not just under the fixed local[32] layout.
 
+Floats are compared via exact repr(): this probe is specifically a
+detector for partition-dependent float association, so even sub-1e-9
+drift must fail it.
+
 Usage: python scripts/partition_invariance.py [names...]
 """
 import math, os, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from trackdechets_etl_spark.queries import all_queries
 from trackdechets_etl_spark.session import get_spark
 
@@ -21,7 +25,7 @@ def norm_val(v):
     if v is None: return "~"
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        return repr(round(v, 9))
+        return repr(v)
     if hasattr(v, "isoformat"): return v.isoformat()
     return str(v)
 
@@ -56,4 +60,5 @@ def main():
     print(f"\n{len(bad)} partition-variant queries" + (f": {bad}" if bad else ""))
     sys.exit(1 if bad else 0)
 
-main()
+if __name__ == "__main__":
+    main()

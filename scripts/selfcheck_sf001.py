@@ -28,13 +28,19 @@ TABLES = (
 ).split()
 
 
+# Default is EXACT float compare (driver strictness). Set
+# SELFCHECK_ROUND9=1 to fall back to the old 9-decimal canonicalization
+# for diagnosing whether a mismatch is representational or mathematical.
+_ROUND9 = os.environ.get("SELFCHECK_ROUND9", "") == "1"
+
+
 def norm_val(v):
     if v is None:
         return "∅"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(round(v, 9)) if _ROUND9 else repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, bool):

@@ -36,20 +36,20 @@ def test_reco_holdout_plan_has_no_rank_self_joins(spark):
     Cross BuildRight scalar attachment (the 1-row toppop array and
     n_users frames); the degree-cap row_number must keep its
     WindowGroupLimit pushdown."""
-    df = _q("reco_holdout_hitrate")(spark, SF_DIR)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = df._jdf.queryExecution().explainString(mode)
+    from tests.test_plans import _plan
+
+    plan = _plan(_q("reco_holdout_hitrate")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin LeftOuter" not in plan, (
         "rank pass regressed to the pre-round-10 broadcast self-join"
     )
+    # tree lines carry the join type + build side; the formatted
+    # detail section repeats the bare operator name — keep the typed
+    # lines only (no dependence on tree-drawing prefixes)
     bnlj = [
         ln
         for ln in plan.splitlines()
-        if "+- BroadcastNestedLoopJoin" in ln
-        or ":- BroadcastNestedLoopJoin" in ln
+        if "BroadcastNestedLoopJoin" in ln and "Build" in ln
     ]
     assert bnlj and all("Cross BuildRight" in ln for ln in bnlj), bnlj
     assert "WindowGroupLimit" in plan, (

@@ -316,7 +316,11 @@ def _orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             F.col("i").alias("day_idx"),
             F.col("n_days").alias("n_days"),
-            F.col("cusum_scaled").cast("decimal(38,0)").alias("cusum_scaled"),
+            # int64 at the output boundary: |cusum_scaled| ~ 3e13 at
+            # sf0.1 (3e15 at 100x) vs int64 max 9.2e18 — driver-side
+            # DuckDB HUGEINT canonicalization diverges from Spark
+            # decimal(38,0) on format, so keep >64-bit math internal.
+            F.col("cusum_scaled").cast("long").alias("cusum_scaled"),
         )
     )
 
@@ -335,7 +339,7 @@ cum AS (
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days, sum(rev) AS t_rev
         FROM daily)
 SELECT day, i AS day_idx, n_days,
-       CAST(n_days * pfx - i * t_rev AS HUGEINT) AS cusum_scaled
+       CAST(n_days * pfx - i * t_rev AS BIGINT) AS cusum_scaled
 FROM cum, tot
 ORDER BY abs(n_days * pfx - i * t_rev) DESC, day ASC
 LIMIT {_CUSUM_TOP}
@@ -462,7 +466,9 @@ def _lineitem_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cells",
         "n_slopes",
         "n_cell_pairs",
-        F.col("mt").cast("decimal(38,0)").alias("m_total"),
+        # int64 boundary (m_total ~ 1.6e11 at sf0.1): HUGEINT output
+        # hashes differently through the driver's DuckDB fetch path.
+        F.col("mt").cast("long").alias("m_total"),
         F.round("s25", 6).alias("slope_p25"),
         F.round("s50", 6).alias("slope_median"),
         F.round("s75", 6).alias("slope_p75"),
@@ -491,7 +497,7 @@ nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells)
 SELECT n_cells,
        CAST((SELECT count(*) FROM byslope) AS BIGINT) AS n_slopes,
        n_pairs AS n_cell_pairs,
-       CAST(mt AS HUGEINT) AS m_total,
+       CAST(mt AS BIGINT) AS m_total,
        round(min(CASE WHEN 4 * cm >= mt THEN slope END), 6) AS slope_p25,
        round(min(CASE WHEN 2 * cm >= mt THEN slope END), 6) AS slope_median,
        round(min(CASE WHEN 4 * cm >= 3 * mt THEN slope END), 6) AS slope_p75
