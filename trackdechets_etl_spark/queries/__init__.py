@@ -49,7 +49,9 @@ class QuerySpec:
 # Post-window queue for the ROUND-12 rotation: the debt is cleared, so
 # the window becomes a stale-green refresh, oldest rows first:
 # (1) any entry whose plan changes after its green row this round
-# (tracked here as they happen): none yet;
+# (tracked here as they happen): join_bloom_prefilter (O(1) bitmap
+# probe replacing the array_contains linear scan, selfchecked at all
+# three SFs + partition-invariant);
 # (2) the remaining round-3 greens in registry order:
 # unpivot_measures, join_null_safe, agg_conditional, agg_collect_sorted,
 # sample_hash_deterministic, text_top_bigrams, top_supplier_per_nation,

