@@ -51,7 +51,9 @@ class QuerySpec:
 # (1) any entry whose plan changes after its green row this round
 # (tracked here as they happen): join_bloom_prefilter (O(1) bitmap
 # probe replacing the array_contains linear scan, selfchecked at all
-# three SFs + partition-invariant);
+# three SFs + partition-invariant); graph_kcore_peel (oracle-side only:
+# AS MATERIALIZED hints so DuckDB stops re-evaluating the peel chain
+# exponentially — values unchanged, selfchecked at all three SFs);
 # (2) the remaining round-3 greens in registry order:
 # unpivot_measures, join_null_safe, agg_conditional, agg_collect_sorted,
 # sample_hash_deterministic, text_top_bigrams, top_supplier_per_nation,

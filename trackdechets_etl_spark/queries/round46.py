@@ -211,12 +211,18 @@ def _graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle() -> str:
+    # Every CTE in the peel chain is AS MATERIALIZED: each e{rnd} is
+    # referenced by k{rnd+1}, e{rnd+1} AND a final count — left to the
+    # inlining heuristic, DuckDB re-evaluates the chain per reference
+    # (exponential in rounds; at sf0.1 the un-hinted form spilled >80GB
+    # of temp and died on disk, while the materialized form runs in
+    # ~3s). The hint changes evaluation only, never results.
     parts = [
         f"""
-raw AS (
+raw AS MATERIALIZED (
     SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-e0 AS (
+e0 AS MATERIALIZED (
     SELECT cust AS src, supp + {_KCORE_OFFSET} AS dst FROM raw
     UNION ALL
     SELECT supp + {_KCORE_OFFSET} AS src, cust AS dst FROM raw)"""
@@ -224,10 +230,10 @@ e0 AS (
     for rnd in range(1, _KCORE_ROUNDS + 1):
         parts.append(
             f"""
-k{rnd} AS (
+k{rnd} AS MATERIALIZED (
     SELECT src AS node FROM e{rnd - 1}
     GROUP BY src HAVING count(*) >= {_KCORE_K}),
-e{rnd} AS (
+e{rnd} AS MATERIALIZED (
     SELECT e.src, e.dst FROM e{rnd - 1} e
     WHERE e.src IN (SELECT node FROM k{rnd})
       AND e.dst IN (SELECT node FROM k{rnd}))"""
