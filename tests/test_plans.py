@@ -471,3 +471,26 @@ def test_top_customers_single_partition_input_is_group_limited(spark):
         "top-k lost its TakeOrderedAndProject cap — the "
         "single-partition window input is no longer bounded"
     )
+
+
+def test_bloom_prefilter_probe_is_constant_time_and_broadcast(spark):
+    """The runtime-filter shape (round31.join_bloom_prefilter): the
+    fact scan stays pruned to 3 columns, the membership test is the
+    O(1) packed-bitmap probe (element_at + shiftright on the 1-row
+    broadcast bitmap — NOT an array_contains linear scan, whose cost
+    grows with filter occupancy), and the exact join that removes
+    false positives is broadcast. The only fact-side shuffle is the
+    final group-by."""
+    plan = _plan(REGISTRY["join_bloom_prefilter"].fn(spark, SF_DIR))
+    assert (
+        "struct<l_partkey:bigint,l_extendedprice:double,l_discount:double>"
+        in plan
+    ), "lineitem scan not pruned to 3 columns"
+    assert "shiftright(element_at(bm" in plan, (
+        "bitmap probe gone — membership test is no longer O(1)"
+    )
+    assert "array_contains" not in plan, (
+        "linear-scan membership test reintroduced"
+    )
+    assert "BroadcastHashJoin" in plan, "exact FP-removal join not broadcast"
+    assert "SortMergeJoin" not in plan, "fact table shuffled for a join"
