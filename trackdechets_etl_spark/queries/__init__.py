@@ -54,6 +54,9 @@ class QuerySpec:
 # three SFs + partition-invariant); graph_kcore_peel (oracle-side only:
 # AS MATERIALIZED hints so DuckDB stops re-evaluating the peel chain
 # exponentially — values unchanged, selfchecked at all three SFs);
+# graph_harmonic_centrality_top (source-mask BFS with union+bit_or
+# merge, 2.3× at sf0.1, bit-identical — selfchecked at all three SFs
+# + partition-invariant);
 # (2) the remaining round-3 greens in registry order:
 # unpivot_measures, join_null_safe, agg_conditional, agg_collect_sorted,
 # sample_hash_deterministic, text_top_bigrams, top_supplier_per_nation,
