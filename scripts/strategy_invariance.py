@@ -1,0 +1,125 @@
+"""Physical-strategy invariance probe: run every registry query at
+sf0.01 under three execution regimes and require bit-identical values
+(exact float repr, the partition_invariance.py convention):
+
+  baseline   — the engine's session defaults (AQE on, 64 MiB
+               auto-broadcast threshold)
+  no-aqe     — spark.sql.adaptive.enabled=false: no runtime
+               coalescing, no skew-join splitting, no
+               broadcast-join conversion
+  no-auto-bc — autoBroadcastJoinThreshold=-1 (both static and AQE
+               variants): every non-hinted join falls back to
+               sort-merge / shuffled-hash
+
+Why this is a 100 TB gate and not local busywork: on a 1000-executor
+cluster the SAME query text gets DIFFERENT physical plans than on
+local[32] at sf0.01 — dims that broadcast locally exceed the threshold
+at scale, AQE makes different coalesce/skew decisions per run, and a
+skew-split executes a join in a different grouping order. A query
+whose VALUES depend on which physical strategy ran (e.g. a float
+aggregation associating differently through a broadcast-hash vs
+sort-merge join, or a row_number tie broken by arrival order) is a
+correctness bug that only manifests after deployment. Explicit
+F.broadcast() hints are unaffected by the threshold — those are design
+decisions, and the probe intentionally leaves them in place.
+
+Usage: python scripts/strategy_invariance.py [query ...]
+Exit 1 if any query's canonicalized rows differ across regimes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from trackdechets_etl_spark.queries import all_queries
+from trackdechets_etl_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+REGIMES = {
+    "baseline": {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    },
+    "no-aqe": {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    },
+    "no-auto-bc": {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    },
+}
+
+
+def norm_val(v):
+    if v is None:
+        return "~"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+
+
+def main() -> None:
+    spark = get_spark(app_name="strategy_invariance")
+    registry = all_queries()
+    only = sys.argv[1:]
+    bad = []
+    for name, spec in registry.items():
+        if only and name not in only:
+            continue
+        results = {}
+        try:
+            for regime, conf in REGIMES.items():
+                for k, v in conf.items():
+                    spark.conf.set(k, v)
+                df = spec.fn(spark, SF_DIR)
+                results[regime] = canon(
+                    [tuple(r) for r in df.collect()], df.columns
+                )
+        except Exception as exc:
+            bad.append(name)
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            continue
+        finally:
+            for k, v in REGIMES["baseline"].items():
+                spark.conf.set(k, v)
+        base = results["baseline"]
+        diffs = [r for r in ("no-aqe", "no-auto-bc") if results[r] != base]
+        if diffs:
+            bad.append(name)
+            print(f"{name}: DIFF under {diffs} (baseline rows={len(base)})")
+            for r in diffs:
+                other = results[r]
+                if len(other) == len(base):
+                    d = next(
+                        i for i, (x, y) in enumerate(zip(base, other)) if x != y
+                    )
+                    print(f"  {r}: first-diff row {d}")
+                    print(f"    base={base[d]}\n    {r}={other[d]}")
+                else:
+                    print(f"  {r}: rows {len(base)} vs {len(other)}")
+        else:
+            print(f"{name}: ok ({len(base)} rows)")
+    print(f"\n{len(bad)} strategy-variant queries" + (f": {bad}" if bad else ""))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
