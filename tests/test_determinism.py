@@ -41,3 +41,58 @@ def test_rerun_with_different_partitioning_is_identical(name, spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert first == second, f"{name} is partitioning-sensitive"
+
+
+# Physical-strategy invariance (the fast standing twin of
+# scripts/strategy_invariance.py, which drives the FULL registry at
+# sf0.01 per round): on a 1000-executor cluster the same query text
+# gets different physical plans than local[32] — dims stop fitting the
+# broadcast threshold, AQE re-plans per run. Values must not depend on
+# which join strategy or adaptive re-plan executed. This subset covers
+# the risky shapes: float aggregation through joins, window ties after
+# a join, union-through-aggregate, iterative convergence.
+STRATEGY_RISKY = [
+    "flagship_revenue_by_nation",   # float sum through a 3-way join
+    "agg_coverage_stats",           # percentage arithmetic post-join
+    "graph_jaccard_neighbors",      # window ties over a self-join
+    "dedup_ngram_jaccard",          # prefix-filter join + verify join
+    "sim_topk_bruteforce",          # float dot-product ranking
+    "reco_holdout_hitrate",         # multi-branch union over joins
+    "graph_pagerank",               # iterative float convergence
+    "orders_cusum_changepoint",     # integer-exact scan statistic
+]
+
+_REGIMES = {
+    "no-aqe": {"spark.sql.adaptive.enabled": "false"},
+    "no-auto-bc": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    },
+}
+
+
+@pytest.mark.parametrize("name", STRATEGY_RISKY)
+def test_values_invariant_to_join_strategy_and_aqe(name, spark):
+    fn = all_queries()[name].fn
+    keys = {k for conf in _REGIMES.values() for k in conf}
+    saved = {k: spark.conf.get(k, None) for k in keys}
+
+    def _restore():
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    try:
+        base = _rows(fn(spark, SF_DIR))
+        for regime, conf in _REGIMES.items():
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            try:
+                got = _rows(fn(spark, SF_DIR))
+            finally:
+                _restore()
+            assert got == base, f"{name} differs under {regime}"
+    finally:
+        _restore()
