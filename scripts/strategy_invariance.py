@@ -56,7 +56,34 @@ REGIMES = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     },
+    # interpreted evaluation vs whole-stage codegen: the generated-code
+    # path fuses expressions differently than the interpreted one — a
+    # known Spark divergence class for float expressions. Values must
+    # not depend on which evaluator ran.
+    "no-codegen": {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.codegen.wholeStage": "false",
+    },
 }
+
+# Baseline value for every key any regime touches, so switching
+# regimes always resets the full set.
+_ALL_KEYS_BASELINE = {
+    "spark.sql.codegen.wholeStage": "true",
+    **REGIMES["baseline"],
+}
+
+# REGIMES=no-codegen python scripts/strategy_invariance.py  — run a
+# subset of the variant regimes (baseline always runs).
+_only_regimes = [r for r in os.environ.get("REGIMES", "").split(",") if r]
+if _only_regimes:
+    REGIMES = {
+        k: v
+        for k, v in REGIMES.items()
+        if k == "baseline" or k in _only_regimes
+    }
 
 
 def norm_val(v):
@@ -87,7 +114,7 @@ def main() -> None:
         results = {}
         try:
             for regime, conf in REGIMES.items():
-                for k, v in conf.items():
+                for k, v in {**_ALL_KEYS_BASELINE, **conf}.items():
                     spark.conf.set(k, v)
                 df = spec.fn(spark, SF_DIR)
                 results[regime] = canon(
@@ -98,10 +125,12 @@ def main() -> None:
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
             continue
         finally:
-            for k, v in REGIMES["baseline"].items():
+            for k, v in _ALL_KEYS_BASELINE.items():
                 spark.conf.set(k, v)
         base = results["baseline"]
-        diffs = [r for r in ("no-aqe", "no-auto-bc") if results[r] != base]
+        diffs = [
+            r for r in REGIMES if r != "baseline" and results[r] != base
+        ]
         if diffs:
             bad.append(name)
             print(f"{name}: DIFF under {diffs} (baseline rows={len(base)})")

@@ -68,6 +68,9 @@ _REGIMES = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     },
+    # interpreted evaluation vs whole-stage codegen — the two
+    # evaluators fuse expressions differently; values must not care.
+    "no-codegen": {"spark.sql.codegen.wholeStage": "false"},
 }
 
 
