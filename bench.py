@@ -61,13 +61,19 @@ def main() -> None:
     registry["flagship_revenue_by_nation"].fn(spark, sf_dir).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
-    # Fixed calibration probes (VERDICT r7): two constant workloads
-    # whose plans never change round-over-round, so a shift in THEIR
-    # timings is machine-state evidence (co-tenant load, JVM/CPU
-    # throttling), while flat calibration + inflated queries would
-    # indict the plans. One is scan-bound, one is pure JVM CPU.
+    # Fixed calibration probes (VERDICT r7): constant workloads whose
+    # plans never change round-over-round, so a shift in THEIR timings
+    # is machine-state evidence (co-tenant load, JVM/CPU throttling),
+    # while flat calibration + inflated queries would indict the plans.
+    # Scan-bound, pure-JVM-CPU (parallel over 32 range partitions), and
+    # — added r11 — shuffle-bound: a fixed wide groupBy whose exchange
+    # writes/reads local shuffle files. The r11 session saw a box where
+    # scan and cpu sat in the anchor band while every shuffle-heavy
+    # query ran uniformly ~30% high — only a shuffle probe can separate
+    # "slow shuffle disk/page cache" from a plan regression.
     calib_scan: list[float] = []
     calib_cpu: list[float] = []
+    calib_shuffle: list[float] = []
     for _ in range(5):
         t0 = time.perf_counter()
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
@@ -79,6 +85,13 @@ def main() -> None:
             "sum(cast(id % 1000003 as double) * (id % 999983))"
         ).collect()
         calib_cpu.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        spark.range(20_000_000).selectExpr(
+            "id % 1000003 as k", "cast(id as double) as v"
+        ).groupBy("k").sum("v").selectExpr(
+            "sum(`sum(v)`)", "count(*)"
+        ).collect()
+        calib_shuffle.append(time.perf_counter() - t0)
 
     # Min-of-N per query: the box is shared, and a single co-tenant
     # burst can inflate one query 5-10× — and can span several
@@ -126,9 +139,11 @@ def main() -> None:
                 "samples": raw_samples,
                 "calibration_scan_sec": round(min(calib_scan), 3),
                 "calibration_cpu_sec": round(min(calib_cpu), 3),
+                "calibration_shuffle_sec": round(min(calib_shuffle), 3),
                 "calibration_samples": {
                     "scan": [round(s, 3) for s in calib_scan],
                     "cpu": [round(s, 3) for s in calib_cpu],
+                    "shuffle": [round(s, 3) for s in calib_shuffle],
                 },
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
