@@ -14,29 +14,22 @@ drift must fail it.
 
 Usage: python scripts/partition_invariance.py [names...]
 """
-import math, os, sys
+import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from trackdechets_etl_spark.canon import canon
 from trackdechets_etl_spark.queries import all_queries
 from trackdechets_etl_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.01"
 
-def norm_val(v):
-    if v is None: return "~"
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return repr(v)
-    if hasattr(v, "isoformat"): return v.isoformat()
-    return str(v)
-
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
-
 def main():
     spark = get_spark(app_name="partition_invariance")
     registry = all_queries()
     only = sys.argv[1:]
+    unknown = [n for n in only if n not in registry]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(2)
     bad = []
     for name, spec in registry.items():
         if only and name not in only: continue

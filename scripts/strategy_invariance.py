@@ -29,12 +29,12 @@ Exit 1 if any query's canonicalized rows differ across regimes.
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from trackdechets_etl_spark.canon import canon
 from trackdechets_etl_spark.queries import all_queries
 from trackdechets_etl_spark.session import get_spark
 
@@ -76,9 +76,16 @@ _ALL_KEYS_BASELINE = {
 }
 
 # REGIMES=no-codegen python scripts/strategy_invariance.py  — run a
-# subset of the variant regimes (baseline always runs).
+# subset of the variant regimes (baseline always runs). Unknown regime
+# names are an error, not a silent no-op: a typo must not shrink a
+# standing gate to a baseline-only vacuous green.
 _only_regimes = [r for r in os.environ.get("REGIMES", "").split(",") if r]
 if _only_regimes:
+    _unknown = [r for r in _only_regimes if r not in REGIMES or r == "baseline"]
+    if _unknown:
+        print(f"unknown REGIMES: {_unknown} (valid: "
+              f"{[k for k in REGIMES if k != 'baseline']})", file=sys.stderr)
+        sys.exit(2)
     REGIMES = {
         k: v
         for k, v in REGIMES.items()
@@ -86,27 +93,14 @@ if _only_regimes:
     }
 
 
-def norm_val(v):
-    if v is None:
-        return "~"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return str(v)
-
-
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
-
-
 def main() -> None:
     spark = get_spark(app_name="strategy_invariance")
     registry = all_queries()
     only = sys.argv[1:]
+    unknown = [n for n in only if n not in registry]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(2)
     bad = []
     for name, spec in registry.items():
         if only and name not in only:

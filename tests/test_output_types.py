@@ -28,7 +28,18 @@ REGISTRY = all_queries()
 
 def _bad_spark_type(dt) -> bool:
     # >64-bit at the boundary: decimals wider than an int64 can hold.
-    return isinstance(dt, T.DecimalType) and dt.precision > 18
+    # Recurses into array/map/struct so a wide decimal can't hide one
+    # level down (the driver's flat-output contract should reject
+    # complex types first, but this lint must not depend on that).
+    if isinstance(dt, T.DecimalType):
+        return dt.precision > 18
+    if isinstance(dt, T.ArrayType):
+        return _bad_spark_type(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _bad_spark_type(dt.keyType) or _bad_spark_type(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(_bad_spark_type(f.dataType) for f in dt.fields)
+    return False
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
@@ -50,11 +61,14 @@ def _oracle_output_types(duck, sql):
 
 def _bad_duck_type(typ: str) -> bool:
     t = typ.upper()
-    if "HUGEINT" in t:  # HUGEINT and UHUGEINT
+    if "HUGEINT" in t:  # HUGEINT and UHUGEINT, incl. nested in STRUCT(...)
         return True
-    if t.startswith("DECIMAL("):
-        prec = int(t.split("(")[1].split(",")[0])
-        return prec > 18
+    # every DECIMAL(p,s) occurrence, wherever it appears in the type
+    # string (top-level or nested inside STRUCT/LIST/MAP reprs)
+    for part in t.split("DECIMAL(")[1:]:
+        prec = int(part.split(",")[0].split(")")[0])
+        if prec > 18:
+            return True
     return False
 
 

@@ -98,7 +98,14 @@ def _graph_harmonic_centrality_top(
     )
     reach = []  # cumulative per-source reach at hop h, source excluded
     for _h in range(3):
-        prop = edges.join(F.broadcast(mask), edges.src == mask.node).select(
+        # NO broadcast hint on mask: it starts at 20 rows but grows to
+        # O(reachable |V|) after a hop or two of high-degree hubs —
+        # forcing a broadcast would hit Spark's exchange caps (and the
+        # driver) at the 100 TB target. Left unhinted, AQE broadcasts
+        # while the mask is small and falls back to a shuffle join on
+        # src when it isn't — values are join-strategy-invariant
+        # (strategy_invariance probe, r11).
+        prop = edges.join(mask, edges.src == mask.node).select(
             F.col("dst").alias("node"), "m"
         )
         mask = (
