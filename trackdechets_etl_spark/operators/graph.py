@@ -240,13 +240,14 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
-        # ranks is nodes-sized (≪ edges): broadcast it so the edge
-        # table never shuffles inside the loop — the per-iteration
-        # shuffle is the groupBy(dst) only. On a graph whose node set
-        # outgrows broadcast, co-partition e_deg and ranks on src once
-        # before the loop instead (same loop body, no broadcast).
+        # ranks is nodes-sized (≪ edges) but GROWS with the graph, so
+        # no broadcast hint: AQE broadcasts it while it fits (keeping
+        # the edge table from shuffling inside the loop) and falls
+        # back to a shuffle join on src when the node set outgrows the
+        # threshold — a forced hint would instead crash the loop at
+        # cluster scale.
         contribs = e_deg.join(
-            F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+            ranks.withColumnRenamed("node", "src"), "src"
         ).select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
         ranks = (
             contribs.groupBy("dst")

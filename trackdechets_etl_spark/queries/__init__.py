@@ -56,7 +56,17 @@ class QuerySpec:
 # exponentially — values unchanged, selfchecked at all three SFs);
 # graph_harmonic_centrality_top (source-mask BFS with union+bit_or
 # merge, 2.3× at sf0.1, bit-identical — selfchecked at all three SFs
-# + partition-invariant);
+# + partition-invariant; then unhinted the per-hop mask broadcast,
+# review fix);
+# plus the nine whose executed plan at sf0.01 changed in the r11
+# broadcast-hint sweep (grow-with-data frames unhinted repo-wide; the
+# other ~20 touched queries plan-hash identical, proven via
+# scripts/plan_snapshot.py before/after diff; all nine selfchecked at
+# all three SFs + partition- and strategy-invariant):
+# embedding_pc1, graph_degree_assortativity, graph_jaccard_neighbors,
+# part_price_index, pipeline_corpus_clean, supplier_dual_sourcing,
+# tpch_q18_large_orders, tpch_q21_suppliers_waiting,
+# tpch_q3_shipping_priority;
 # (2) the remaining round-3 greens in registry order:
 # unpivot_measures, join_null_safe, agg_conditional, agg_collect_sorted,
 # sample_hash_deterministic, text_top_bigrams, top_supplier_per_nation,

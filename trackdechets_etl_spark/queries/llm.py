@@ -419,9 +419,10 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     near = ngram_jaccard_pairs(d, "text", "doc_id", threshold=JACCARD_THRESHOLD)
     drop_ids = near.select(F.col("id_b").alias("doc_id")).distinct()
-    # The near-dup id list is tiny relative to the corpus (pairs above a
-    # high threshold) — broadcast the anti-join side, don't sort-merge.
-    return kept.join(F.broadcast(drop_ids), "doc_id", "left_anti").select(
+    # No broadcast hint on the drop list: near-dup rates on web-scale
+    # corpora run 30%+, so the anti-join side scales with the corpus.
+    # AQE broadcasts it while small and sort-merges when it isn't.
+    return kept.join(drop_ids, "doc_id", "left_anti").select(
         "doc_id", "quality_score"
     )
 

@@ -59,11 +59,11 @@ def _orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(supp.select(F.col("l_partkey").alias("p1"), F.col("supp").alias("supp_a"))),
+            supp.select(F.col("l_partkey").alias("p1"), F.col("supp").alias("supp_a")),
             "p1",
         )
         .join(
-            F.broadcast(supp.select(F.col("l_partkey").alias("p2"), F.col("supp").alias("supp_b"))),
+            supp.select(F.col("l_partkey").alias("p2"), F.col("supp").alias("supp_b")),
             "p2",
         )
         .crossJoin(F.broadcast(n_orders))
@@ -173,11 +173,11 @@ def _graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sim = (
         shared.join(
-            F.broadcast(deg.select(F.col("supp").alias("s1"), F.col("deg").alias("d1"))),
+            deg.select(F.col("supp").alias("s1"), F.col("deg").alias("d1")),
             "s1",
         )
         .join(
-            F.broadcast(deg.select(F.col("supp").alias("s2"), F.col("deg").alias("d2"))),
+            deg.select(F.col("supp").alias("s2"), F.col("deg").alias("d2")),
             "s2",
         )
         .withColumn(

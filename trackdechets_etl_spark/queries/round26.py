@@ -36,7 +36,7 @@ def _supplier_share_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     per_supp = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey", "s_suppkey")
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(

@@ -246,7 +246,7 @@ def _join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         prefiltered.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            part.select("p_partkey", "p_brand"),
             prefiltered.l_partkey == F.col("p_partkey"),
         )
         .groupBy("p_brand")

@@ -166,7 +166,7 @@ def _orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
     )
     per = (
-        o.join(F.broadcast(c), "o_custkey")
+        o.join(c, "o_custkey")
         .groupBy("yr", "segment")
         .agg(F.sum("cents").alias("cents"))
     )

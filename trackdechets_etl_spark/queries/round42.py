@@ -207,7 +207,7 @@ def _pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < _ERASE_HEX)
     )
-    kept = ev.join(F.broadcast(erase), "user_id", "left_anti")
+    kept = ev.join(erase, "user_id", "left_anti")
     stats = [
         ev.agg(
             F.lit("events").alias("table_name"),
@@ -267,7 +267,7 @@ def _dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col(pk).alias("k"))
             .distinct()
         )
-        orphans = c.join(F.broadcast(p), "k", "left_anti")
+        orphans = c.join(p, "k", "left_anti")
         outs.append(
             c.agg(
                 F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),

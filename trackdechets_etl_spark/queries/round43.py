@@ -136,7 +136,7 @@ def _supplier_dual_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey"),
     )
     per_part = (
-        li.join(F.broadcast(s), "l_suppkey")
+        li.join(s, "l_suppkey")
         .groupBy("l_partkey")
         .agg(
             F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),

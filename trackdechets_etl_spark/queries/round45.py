@@ -97,7 +97,7 @@ def _embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("vec_id")
                 .agg(F.max("sim_cc").alias("penalty"))
             )
-            pool = pool.join(F.broadcast(pen), "vec_id").select(
+            pool = pool.join(pen, "vec_id").select(
                 "vec_id",
                 "sim_q",
                 (

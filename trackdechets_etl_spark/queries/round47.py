@@ -112,7 +112,7 @@ def _lineitem_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
     )
     d = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), "l_suppkey")
+        .join(s, "l_suppkey")
         .select(
             "nationkey", F.datediff("sd", "od").cast("long").alias("delay")
         )

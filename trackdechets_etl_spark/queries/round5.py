@@ -457,7 +457,7 @@ def _embedding_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("val") * F.col("x")).alias("dot"))
         )
         y = (
-            e.join(F.broadcast(dots), "vec_id")
+            e.join(dots, "vec_id")
             .groupBy("i")
             .agg(F.sum(F.col("val") * F.col("dot")).alias("y"))
         )

@@ -121,11 +121,9 @@ def _graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     pairs = (
-        edges.join(F.broadcast(deg.select(F.col("src"), F.col("deg").alias("dx"))), "src")
+        edges.join(deg.select(F.col("src"), F.col("deg").alias("dx")), "src")
         .join(
-            F.broadcast(
-                deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy"))
-            ),
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")),
             "dst",
         )
         .select("dx", "dy")

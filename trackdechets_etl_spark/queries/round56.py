@@ -128,7 +128,7 @@ def _ship_delay_percentiles_approx(
     )
     d = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), "l_suppkey")
+        .join(s, "l_suppkey")
         .select(
             "nationkey", F.datediff("sd", "od").cast("long").alias("delay")
         )

@@ -225,7 +225,7 @@ def _orders_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"),
         (F.col("c_mktsegment") == _DID_SEGMENT).alias("treat"),
     )
-    j = o.join(F.broadcast(c), "o_custkey")
+    j = o.join(c, "o_custkey")
     dec = lambda c_: c_.cast("decimal(38,0)")  # noqa: E731
     cell = lambda tr, po, col, name: F.sum(  # noqa: E731
         F.when(

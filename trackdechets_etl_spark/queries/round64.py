@@ -645,7 +645,7 @@ def _part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sp") / F.col("sq")).alias("pt"),
         F.col("sq").alias("qt"),
     )
-    j = cur.join(F.broadcast(base), "l_partkey")
+    j = cur.join(base, "l_partkey")
     lp = (
         j.groupBy("yr")
         .agg(
@@ -724,9 +724,7 @@ def _graph_modularity_nation(
         F.col("s_suppkey").alias("supp"),
         F.col("s_nationkey").alias("snat"),
     )
-    e = edges.join(F.broadcast(cn), "cust").join(
-        F.broadcast(sn), "supp"
-    )
+    e = edges.join(cn, "cust").join(sn, "supp")
     m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
     internal = (
         e.filter(F.col("cnat") == F.col("snat"))

@@ -274,7 +274,7 @@ def _linkage_blocking_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _last2(F.regexp_extract("s_name", r"([0-9]+)$", 1)).alias("s_d2"),
         F.round(F.col("s_acctbal") * 100).cast("long").alias("s_cents"),
     )
-    pairs = c.join(F.broadcast(s), "nk")
+    pairs = c.join(s, "nk")
     scored = pairs.withColumn(
         "score",
         F.when(

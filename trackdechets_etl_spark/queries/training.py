@@ -260,7 +260,7 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = d.withColumn("split", split)
     sh = shingles(tagged, "text", "doc_id")
     tags = tagged.select("doc_id", "split")
-    sh = sh.join(F.broadcast(tags), "doc_id")
+    sh = sh.join(tags, "doc_id")
     train_sh = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
     test_sh = (
         sh.filter(F.col("split") == "test").select("shingle").distinct()
