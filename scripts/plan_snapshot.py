@@ -37,14 +37,26 @@ def main() -> None:
     if sys.argv[1:2] == ["--diff"]:
         a = json.load(open(sys.argv[2]))
         b = json.load(open(sys.argv[3]))
+        # An ERROR:<type> value is not plan-identity evidence: a query
+        # that fails to plan in both snapshots must be reported, never
+        # silently counted as unchanged.
+        errored = sorted(
+            k
+            for k in a.keys() & b.keys()
+            if str(a[k]).startswith("ERROR:") or str(b[k]).startswith("ERROR:")
+        )
         changed = sorted(
-            k for k in a.keys() & b.keys() if a[k] != b[k]
+            k
+            for k in a.keys() & b.keys()
+            if a[k] != b[k] and k not in errored
         )
         only = sorted(a.keys() ^ b.keys())
         print(f"{len(changed)} changed plans" + (f": {changed}" if changed else ""))
+        if errored:
+            print(f"{len(errored)} ERROR entries (no plan evidence): {errored}")
         if only:
             print(f"{len(only)} present in only one snapshot: {only}")
-        sys.exit(1 if changed or only else 0)
+        sys.exit(1 if changed or only or errored else 0)
 
     from trackdechets_etl_spark.queries import all_queries
     from trackdechets_etl_spark.session import get_spark
@@ -74,8 +86,15 @@ def main() -> None:
             print(f"{name}: ERROR {exc}", file=sys.stderr)
     with open(out_path, "w") as f:
         json.dump(snap, f, indent=0, sort_keys=True)
+    errors = sorted(
+        k for k, v in snap.items() if str(v).startswith("ERROR:")
+    )
     print(f"{len(snap)} plans -> {out_path}")
+    if errors:
+        print(f"{len(errors)} ERRORS recorded: {errors}", file=sys.stderr)
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,10 @@ def main() -> None:
         fn = registry[name].fn
         mins = {}
         for sf_dir in SFS:
+            # One untimed throwaway per (query, sf_dir): absorbs
+            # first-read page cache + planner warm-up so min-of-REPS
+            # is comparable across SFs even at REPS=1.
+            run_once(fn, spark, sf_dir)
             samples = [run_once(fn, spark, sf_dir) for _ in range(REPS)]
             mins[sf_dir] = min(samples)
             print(

@@ -15,15 +15,41 @@ import math
 
 
 def norm_val(v) -> str:
+    # Type-tagged so no literal value can collide with another type's
+    # normalized form (e.g. the string '~' vs NULL, the string 'NaN'
+    # vs float NaN, the string '5' vs the int 5). A regime flip that
+    # turns a NULL into a literal sentinel string must NOT pass the
+    # bit-identical gates.
     if v is None:
-        return "~"
+        return "n:"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "b:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)
+            return "f:NaN"
+        return "f:" + repr(v)
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "y:" + bytes(v).hex()
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return str(v)
+        return "d:" + v.isoformat()
+    if isinstance(v, str):
+        return "s:" + v
+    # Containers (arrays/structs/maps) normalize element-wise so the
+    # same collision-freedom holds inside nested values.
+    if isinstance(v, (list, tuple)):
+        return "a:[" + ",".join(norm_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "m:{"
+            + ",".join(
+                norm_val(k) + "=" + norm_val(v[k])
+                for k in sorted(v, key=repr)
+            )
+            + "}"
+        )
+    return "o:" + str(v)
 
 
 def canon(rows, cols) -> list[tuple[str, ...]]:

@@ -205,8 +205,10 @@ def _text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-doc score is the mean negative log-probability and its exp
     (perplexity), floats only at the last step, rounded at 4. At
     100 TB the count tables are the model: the bigram join keys are
-    zipf-hot, which is exactly the AQE skew-join case, and the c1
-    table (vocab-sized) broadcasts."""
+    zipf-hot, which is exactly the AQE skew-join case. The c1 table is
+    vocab-sized and vocabulary grows with corpus size (Heaps' law), so
+    it joins UNHINTED — AQE broadcasts it while it fits and falls back
+    to a shuffle join when it doesn't."""
     d = read_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
@@ -221,7 +223,7 @@ def _text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.agg(F.countDistinct("w").alias("v"))
     lp = (
         bi.join(c2, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

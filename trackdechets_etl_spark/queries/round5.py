@@ -387,8 +387,10 @@ def _text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring: each doc's mean token
     log-probability under the corpus unigram distribution — the classic
     cheap perplexity proxy for quality filtering. The LM itself is the
-    token-frequency table (vocabulary-bounded → broadcast back onto the
-    exploded tokens); one explode + two aggregations."""
+    token-frequency table; distinct tokens grow with corpus size
+    (Heaps' law), so it joins back onto the exploded tokens UNHINTED —
+    AQE broadcasts it while it fits and shuffles when it doesn't. One
+    explode + two aggregations."""
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
@@ -397,7 +399,7 @@ def _text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", (F.log(F.col("tf") / F.col("n_total"))).alias("logp")
     )
     return (
-        tok.join(F.broadcast(lm), "token")
+        tok.join(lm, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
