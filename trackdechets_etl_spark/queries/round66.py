@@ -69,50 +69,72 @@ def _reco_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
+    # repartition("c") BEFORE the (c,s) aggregate: hash(c) satisfies
+    # the clustered-by-(c,s) requirement (subset rule), so the (c,s)
+    # max-date dedup AND the groupBy(c) profile build both run without
+    # further exchanges — one shuffle of the joined frame instead of
+    # two. Trade-off: the raw rows shuffle un-combined; with TPC-H-ish
+    # (c,s) multiplicity ≈1.15 one full exchange beats two combined
+    # ones (measured 0.88 s vs 1.40 s warm at sf0.1). A corpus with
+    # high per-(c,s) multiplicity (>~2 repeat interactions) would flip
+    # this — restore the plain groupBy(c,s) there and let its exchange
+    # map-side-combine.
     inter = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            "o_orderdate",
         )
+        .repartition("c")
+        .groupBy("c", "s")
         .agg(F.max("o_orderdate").alias("last_d"))
     )
-    # held-out item (most recent interaction, tie -> max suppkey) and
-    # the md5 degree cap fused into ONE partitionBy(c) window pass:
-    # the held row is forced to sort LAST so the remaining rows keep
-    # exactly the (md5, s) cap ranks the oracle's train_full CTE
-    # assigns (it numbers rows with the held item already excluded).
-    wall = Window.partitionBy("c")
-    is_held = F.col("s") == F.col("held")
-    wcap = Window.partitionBy("c").orderBy(
-        is_held.cast("int"),
-        F.md5(
-            F.concat_ws(
-                "_", F.col("c").cast("string"), F.col("s").cast("string")
-            )
+    # Per-user profile in ONE groupBy(c), everything else array-side:
+    # held-out item = max (last_d, s) struct (most recent interaction,
+    # tie -> max suppkey); the md5 degree cap = filter the held item
+    # out, sort the rest by (md5(c_s), s), keep the first CAP — exactly
+    # the oracle's train_full/train CTE chain (it numbers rows with the
+    # held item already excluded). This replaces the former two-window
+    # pass over inter (max-struct + row_number) with array expressions
+    # inside the aggregate, and — the actual win — the frame is
+    # localCheckpoint'ed so the six downstream consumers (pop, toppop,
+    # pop_hits, co, scores, co_hits, n_users) stop re-deriving the
+    # lineitem⋈orders join: the executed plan drops from 14 parquet
+    # scans / 32 exchanges to one scan pass plus the few real shuffles. At
+    # 100 TB the profile frame is one bounded-width row per customer
+    # (CAP+1 item ids), far smaller than the interaction table it
+    # replaces, and checkpointing it to executor-local storage is the
+    # standard multi-consumer materialization.
+    held_c = F.array_max("all_arr")["s"]
+    rest = F.filter(
+        "all_arr", lambda x: x["s"] != F.col("held")
+    )
+    keyed = F.transform(
+        rest,
+        lambda x: F.struct(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("c").cast("string"),
+                    x["s"].cast("string"),
+                )
+            ).alias("k"),
+            x["s"].alias("s"),
         ),
-        F.col("s"),
     )
-    marked = (
-        inter.withColumn(
-            "held", F.max(F.struct("last_d", "s")).over(wall)["s"]
-        )
-        .withColumn("capr", F.row_number().over(wcap))
-        .withColumn(
-            "in_train", ~is_held & (F.col("capr") <= _RECO_DEGREE_CAP)
-        )
+    seen = F.transform(
+        F.slice(F.array_sort(keyed), 1, _RECO_DEGREE_CAP),
+        lambda x: x["s"],
     )
-    train = marked.filter("in_train").select("c", "s")
-    # per-user profile: capped train set as an array (<= CAP elements)
-    # plus the held item — EVERY interacting customer appears, train
-    # may be empty (collect_list skips the null non-train slots), which
-    # matches the former held-frame semantics (a train-empty customer
-    # still gets the global popularity candidates).
-    user = marked.groupBy("c").agg(
-        F.collect_list(F.when(F.col("in_train"), F.col("s"))).alias(
-            "seen_arr"
-        ),
-        F.first("held").alias("held"),
+    user = (
+        inter.groupBy("c")
+        .agg(F.collect_list(F.struct("last_d", "s")).alias("all_arr"))
+        .withColumn("held", held_c)
+        .select("c", seen.alias("seen_arr"), "held")
+        .localCheckpoint(eager=True)
     )
+    train = user.select("c", F.explode("seen_arr").alias("s"))
     pop = train.groupBy("s").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -173,6 +195,9 @@ def _reco_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         user.select(F.explode(pair_arr).alias("p"))
         .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        # co feeds co_sym twice (itself + the flipped copy); checkpoint
+        # so the pair explode + aggregate runs once.
+        .localCheckpoint(eager=True)
     )
     co_sym = co.unionByName(
         co.select(
@@ -190,10 +215,16 @@ def _reco_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nbr") <= _RECO_DEGREE_CAP)
         .drop("nbr")
     )
+    # One exchange for the whole scoring tail: hash(c) satisfies the
+    # ClusteredDistribution of BOTH downstream aggregates (groupBy(c,
+    # cand) by the subset rule, then groupBy(c) exactly), so the
+    # ~|train|·CAP scored frame crosses the network once instead of
+    # twice ((c,cand) exchange + (c) exchange in the naive plan).
     scores = (
         train.join(
             co_top.withColumnRenamed("s1", "s"), "s"
         )
+        .repartition("c")
         .groupBy("c", F.col("s2").alias("cand"))
         .agg(F.sum("co").cast("long").alias("score"))
     )
