@@ -1,0 +1,92 @@
+"""exact_percentiles_value_counts must be bit-identical to Spark's
+built-in ``percentile`` aggregate — the operator exists purely to
+distribute the same math (see operators/percentiles.py), so any value
+drift is a bug, not a tolerance question."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from trackdechets_etl_spark.operators.percentiles import (
+    exact_percentiles_value_counts,
+)
+
+FRACTIONS = [0.0, 0.25, 0.5, 0.75, 0.95, 1.0]
+ALIASES = [f"p{i}" for i in range(len(FRACTIONS))]
+
+
+def _reference(df, group_cols):
+    pcts = F.percentile(
+        "v", F.array(*[F.lit(q) for q in FRACTIONS])
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(pcts.alias("__p"))
+        .select(
+            *group_cols,
+            *[
+                F.element_at("__p", i + 1).alias(a)
+                for i, a in enumerate(ALIASES)
+            ],
+        )
+    )
+
+
+def _assert_bitwise_equal(a_df, b_df):
+    a = sorted(tuple(repr(v) for v in r) for r in a_df.collect())
+    b = sorted(tuple(repr(v) for v in r) for r in b_df.collect())
+    assert a == b
+
+
+def test_matches_builtin_random_with_ties(spark):
+    rng = random.Random(42)
+    rows = [
+        (rng.choice("abc"), round(rng.uniform(0, 100), 1))
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    _assert_bitwise_equal(
+        _reference(df, ["g"]),
+        exact_percentiles_value_counts(df, ["g"], "v", FRACTIONS, ALIASES),
+    )
+
+
+def test_single_value_and_tiny_groups(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0), ("b", 4.0), ("c", -2.5), ("c", -2.5)],
+        "g string, v double",
+    )
+    _assert_bitwise_equal(
+        _reference(df, ["g"]),
+        exact_percentiles_value_counts(df, ["g"], "v", FRACTIONS, ALIASES),
+    )
+
+
+def test_nulls_ignored_like_builtin(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 2.0), ("a", None), ("a", 9.0)],
+        "g string, v double",
+    )
+    _assert_bitwise_equal(
+        _reference(df, ["g"]),
+        exact_percentiles_value_counts(df, ["g"], "v", FRACTIONS, ALIASES),
+    )
+
+
+def test_multi_group_cols(spark):
+    rng = random.Random(7)
+    rows = [
+        (rng.choice("xy"), rng.choice("uv"), float(rng.randint(0, 50)))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v double")
+    _assert_bitwise_equal(
+        _reference(df, ["g1", "g2"]).withColumn(
+            "k", F.concat("g1", "g2")
+        ).drop("g1", "g2"),
+        exact_percentiles_value_counts(
+            df, ["g1", "g2"], "v", FRACTIONS, ALIASES
+        ).withColumn("k", F.concat("g1", "g2")).drop("g1", "g2"),
+    )

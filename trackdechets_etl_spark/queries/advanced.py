@@ -17,6 +17,9 @@ from pyspark.sql import functions as F
 
 from trackdechets_etl_spark.io.readers import read_table
 from trackdechets_etl_spark.llm.similarity import ivf_topk
+from trackdechets_etl_spark.operators.percentiles import (
+    exact_percentiles_value_counts,
+)
 from trackdechets_etl_spark.operators.temporal import (
     asof_join,
     range_join_bucketed,
@@ -148,25 +151,27 @@ QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
 def _agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of extended price per return flag
-    (Spark ``percentile`` — sort-based exact, linear interpolation,
-    matching DuckDB ``quantile_cont``). At 100 TB swap to
-    ``approx_percentile`` (t-digest) — same call shape."""
+    (bit-identical to Spark ``percentile`` / DuckDB ``quantile_cont``),
+    computed on the distributed value-counts path: the built-in
+    aggregate funnels each group's full value map through one reducer
+    (3 flags → 3 tasks — the registry's worst decade ratio at 7.5×),
+    whereas the value-counts form shuffles distinct (flag, price) pairs
+    map-side-combined and only serializes the per-group DISTINCT-value
+    cumsum. See operators/percentiles.py."""
     li = read_table(spark, sf_dir, "lineitem")
-    # One percentile() over an array of fractions = ONE sort buffer per
-    # group instead of four (measured 3.0s → ~1.2s at sf0.1).
-    pcts = F.percentile(
-        "l_extendedprice", F.array(*[F.lit(q) for q in QUANTILES])
+    pct = exact_percentiles_value_counts(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        list(QUANTILES),
+        [f"__r{int(q * 100)}" for q in QUANTILES],
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pcts.alias("__p"))
-        .select(
-            "l_returnflag",
-            *[
-                F.round(F.element_at("__p", i + 1), 4).alias(f"p{int(q * 100)}")
-                for i, q in enumerate(QUANTILES)
-            ],
-        )
+    return pct.select(
+        "l_returnflag",
+        *[
+            F.round(F.col(f"__r{int(q * 100)}"), 4).alias(f"p{int(q * 100)}")
+            for q in QUANTILES
+        ],
     )
 
 

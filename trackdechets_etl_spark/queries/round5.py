@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trackdechets_etl_spark.io.readers import read_table
+from trackdechets_etl_spark.operators.percentiles import (
+    exact_percentiles_value_counts,
+)
 from trackdechets_etl_spark.queries import QuerySpec
 
 # ---------------------------------------------------- stats suite
@@ -84,26 +87,29 @@ def _agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's partkey at the price extremes — ties broken identically in
     both engines because (price, partkey) pairs are unique per flag at
     the extremes), exact median and lower-quartile (continuous
-    interpolation, Spark percentile ↔ DuckDB quantile_cont)."""
+    interpolation, Spark percentile ↔ DuckDB quantile_cont). The
+    percentiles run on the distributed value-counts path
+    (operators/percentiles.py — bit-identical to ``F.percentile``,
+    without the one-reducer-per-group funnel); the arg-extrema stay a
+    plain parallel aggregate and re-join on the 3-row flag key."""
     li = read_table(spark, sf_dir, "lineitem")
-    # One percentile() call with an array of fractions = ONE value
-    # buffer per group; separate median()+percentile() calls would each
-    # buffer the column (measured 3.7s → 1.2s at sf0.1).
-    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.25)))
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.min_by("l_partkey", "l_extendedprice").alias("cheapest_part"),
-            F.max_by("l_partkey", "l_extendedprice").alias("priciest_part"),
-            pcts.alias("__p"),
-        )
-        .select(
-            "l_returnflag",
-            "cheapest_part",
-            "priciest_part",
-            F.round(F.element_at("__p", 1), 4).alias("median_price"),
-            F.round(F.element_at("__p", 2), 4).alias("q25_price"),
-        )
+    ext = li.groupBy("l_returnflag").agg(
+        F.min_by("l_partkey", "l_extendedprice").alias("cheapest_part"),
+        F.max_by("l_partkey", "l_extendedprice").alias("priciest_part"),
+    )
+    pct = exact_percentiles_value_counts(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [0.5, 0.25],
+        ["__med", "__q25"],
+    )
+    return ext.join(pct, "l_returnflag").select(
+        "l_returnflag",
+        "cheapest_part",
+        "priciest_part",
+        F.round("__med", 4).alias("median_price"),
+        F.round("__q25", 4).alias("q25_price"),
     )
 
 
