@@ -106,6 +106,36 @@ def test_near_dup_pairs_threshold(spark):
     assert pairs == {(0, 1)}
 
 
+def test_near_dup_bucketed_subset_of_exact(spark):
+    """The bucketed production form may only MISS pairs (bucket
+    disagreement), never invent them, and identical vectors always
+    share a bucket so exact duplicates are always found."""
+    import random
+
+    from trackdechets_etl_spark.llm.similarity import (
+        near_dup_pairs_bucketed,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    rows.append((100, list(rows[0][1])))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(emb, "vec_id", "embedding", 0.9).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs_bucketed(
+            emb, "vec_id", "embedding", dims=8, threshold=0.9
+        ).collect()
+    }
+    assert bucketed <= exact
+    assert (0, 100) in bucketed
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog is here"), (2, "le chat et la mer"), (3, "xyz qqq")],

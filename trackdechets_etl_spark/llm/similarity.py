@@ -242,6 +242,49 @@ def ivf_topk(
     )
 
 
+def near_dup_pairs_bucketed(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    threshold: float,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Production embedding near-dup: LSH-bucket first (one hash table
+    of ``n_planes`` random hyperplanes), exact-cosine verify within
+    buckets only. Candidate volume is O(Σ_b |bucket_b|²) ≈ N²/2^planes
+    for balanced buckets instead of N² — and the bucket self-join is a
+    plain shuffle equi-join, so Spark parallelizes per bucket. At real
+    scale ``n_planes`` grows with the corpus (buckets ≈ N/constant) and
+    the corpus is written partitioned by bucket so the join prunes to
+    one partition per bucket; recall vs the exact form is measured by
+    the sampled all-pairs eval twin (``near_dup_pairs``) and the
+    ``sim_recall_curve_nplanes`` query."""
+    bk = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_expr(F.col(vec_col), dims, n_planes).alias("bucket"),
+    )
+    a = bk.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = bk.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     id_col: str,
@@ -249,10 +292,11 @@ def near_dup_pairs(
     threshold: float,
     sample_mod: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold.
-    ``sample_mod`` restricts the left side to ids ≡ 0 (mod m) — the
-    bench/test shape; at scale the left side would be LSH-bucketed
-    first (see lsh_bucket_topk)."""
+    """Exact embedding-cosine near-dup pairs above a threshold —
+    the recall-eval twin of ``near_dup_pairs_bucketed`` (which is the
+    production registry shape). ``sample_mod`` restricts the left side
+    to ids ≡ 0 (mod m) to bound the cross join; this form exists to
+    measure the bucketed form's recall, not to run on a full corpus."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     if sample_mod:
         a = a.filter(F.col("id_a") % sample_mod == 0)

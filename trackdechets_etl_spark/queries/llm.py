@@ -28,6 +28,7 @@ from trackdechets_etl_spark.llm.similarity import (
     hyperplane,
     lsh_bucket_topk,
     near_dup_pairs,
+    near_dup_pairs_bucketed,
     topk_bruteforce,
 )
 from trackdechets_etl_spark.queries import QuerySpec
@@ -57,6 +58,16 @@ def _cos_sql(a: str, b: str) -> str:
         f"list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     )
+
+
+def _plane_sql(p: int) -> str:
+    return "[" + ", ".join(str(x) for x in hyperplane(p, EMB_DIMS)) + "]"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 THEN {2 ** p} ELSE 0 END)"
+    for p in range(N_PLANES)
+)
 
 
 # ------------------------------------------------------------------ text ops
@@ -294,6 +305,39 @@ FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 
 
 def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape: LSH-bucket, then exact-cosine
+    verify within buckets (llm/similarity.py::near_dup_pairs_bucketed).
+    The sampled all-pairs exact form lives on as the recall-eval twin
+    ``dedup_embedding_cosine_exact``."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_bucketed(
+        e,
+        "vec_id",
+        "embedding",
+        dims=EMB_DIMS,
+        threshold=NEAR_DUP_THRESHOLD,
+    )
+
+
+DEDUP_EMB_COSINE_SQL = f"""
+WITH {_EMB},
+bk AS (SELECT vec_id, v, CAST({_BUCKET_SQL} AS INT) AS bucket FROM e),
+p AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.v', 'b.v')}, 6) AS cos_sim
+    FROM bk a JOIN bk b USING (bucket)
+    WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def _dedup_embedding_cosine_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall-eval twin: exact all-pairs cosine with the left side
+    sampled (ids ≡ 0 mod {mod}) to bound the cross join — exists to
+    measure what the bucketed production form misses, never to run on
+    a full corpus."""
     e = read_table(spark, sf_dir, "embeddings")
     return near_dup_pairs(
         e,
@@ -304,7 +348,7 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EMB_COSINE_SQL = f"""
+DEDUP_EMB_COSINE_EXACT_SQL = f"""
 WITH {_EMB},
 a AS (SELECT vec_id AS id_a, v AS va FROM e WHERE vec_id % {NEAR_DUP_SAMPLE_MOD} = 0),
 b AS (SELECT vec_id AS id_b, v AS vb FROM e),
@@ -343,16 +387,6 @@ def _sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     out = lsh_bucket_topk(e, "vec_id", "embedding", EMB_DIMS, TOPK_QUERY_IDS, k=5)
     return out.select("q_id", "c_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
-
-
-def _plane_sql(p: int) -> str:
-    return "[" + ", ".join(str(x) for x in hyperplane(p, EMB_DIMS)) + "]"
-
-
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) > 0 THEN {2 ** p} ELSE 0 END)"
-    for p in range(N_PLANES)
-)
 
 SIM_LSH_TOPK_SQL = f"""
 WITH {_EMB},
@@ -548,6 +582,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(_dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_simhash_pairs": QuerySpec(_dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_embedding_cosine": QuerySpec(_dedup_embedding_cosine, DEDUP_EMB_COSINE_SQL),
+    "dedup_embedding_cosine_exact": QuerySpec(
+        _dedup_embedding_cosine_exact, DEDUP_EMB_COSINE_EXACT_SQL
+    ),
     "sim_topk_bruteforce": QuerySpec(_sim_topk, SIM_TOPK_SQL),
     "sim_lsh_bucket_topk": QuerySpec(_sim_lsh_topk, SIM_LSH_TOPK_SQL),
     "multimodal_meta": QuerySpec(_mm_meta, MM_META_SQL),
