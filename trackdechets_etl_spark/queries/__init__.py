@@ -36,95 +36,84 @@ class QuerySpec:
 # differently; fixed this round by casting the final column to int64
 # both sides, see round56.py and tests/test_output_types.py).
 #
-# The ROUND-11 front below = exactly the r10 verdict's ask #4:
-# slots 1-2 the two plan-changed-after-red fixes; slots 3-5 the three
-# round-10 determinism-probe fixes (plan-changed after their old green
-# rows: integer-microsecond range keys / integer-cents sums /
-# pre-multiplied 4dp rounds); slots 6-48 the remaining 43
-# never-driver-checked round-9 additions in ship order; slots 49-50
-# the two oldest round-3 stale greens. 50/50 green here means
-# cumulative coverage 392/392 — the full oracle-paired registry.
-# All 50 re-selfchecked at sf0.01 (exact float repr) this round.
+# The ROUND-12 front below = exactly the r11 verdict's ask #1 (land
+# the queued stale-green window), extended by this round's own plan
+# changes:
+# slots 1-12: the r11 plan-changed-after-green entries as queued
+#   (join_bloom_prefilter bitmap probe; graph_kcore_peel oracle-side
+#   AS MATERIALIZED; graph_harmonic_centrality_top mask-BFS; the nine
+#   broadcast-hint-sweep plan changes incl. tpch_q3/q18/q21);
+# slots 13-19: round-12 plan changes/new entries — text_lm_score +
+#   text_bigram_lm_score (grow-with-data LM tables unhinted, ADVICE
+#   fix), reco_holdout_hitrate (profile-checkpoint restructure),
+#   agg_quantiles + agg_argminmax (distributed value-counts exact
+#   percentiles), dedup_embedding_cosine (now the LSH-bucketed
+#   production form) and its NEW exact recall-eval twin
+#   dedup_embedding_cosine_exact — all selfchecked at three SFs +
+#   partition/strategy-invariant this round;
+# slots 20-34: the fifteen remaining round-3 stale greens in registry
+#   order (oldest green rows in the ledger);
+# slots 35-50: the oldest round-4 stale greens (last green == r04,
+#   CORRECTNESS_r04 file order).
+# 50/50 green here keeps cumulative coverage at the full oracle-paired
+# registry (393 entries incl. the new twin) AND leaves zero entries
+# whose current plan postdates their last green driver row.
 #
-# Post-window queue for the ROUND-12 rotation: the debt is cleared, so
-# the window becomes a stale-green refresh, oldest rows first:
-# (1) any entry whose plan changes after its green row this round
-# (tracked here as they happen): join_bloom_prefilter (O(1) bitmap
-# probe replacing the array_contains linear scan, selfchecked at all
-# three SFs + partition-invariant); graph_kcore_peel (oracle-side only:
-# AS MATERIALIZED hints so DuckDB stops re-evaluating the peel chain
-# exponentially — values unchanged, selfchecked at all three SFs);
-# graph_harmonic_centrality_top (source-mask BFS with union+bit_or
-# merge, 2.3× at sf0.1, bit-identical — selfchecked at all three SFs
-# + partition-invariant; then unhinted the per-hop mask broadcast,
-# review fix);
-# plus the nine whose executed plan at sf0.01 changed in the r11
-# broadcast-hint sweep (grow-with-data frames unhinted repo-wide; the
-# other ~20 touched queries plan-hash identical, proven via
-# scripts/plan_snapshot.py before/after diff; all nine selfchecked at
-# all three SFs + partition- and strategy-invariant):
-# embedding_pc1, graph_degree_assortativity, graph_jaccard_neighbors,
-# part_price_index, pipeline_corpus_clean, supplier_dual_sourcing,
-# tpch_q18_large_orders, tpch_q21_suppliers_waiting,
-# tpch_q3_shipping_priority;
-# (2) the remaining round-3 greens in registry order:
-# unpivot_measures, join_null_safe, agg_conditional, agg_collect_sorted,
-# sample_hash_deterministic, text_top_bigrams, top_supplier_per_nation,
-# join_fuzzy_name, agg_grouping_sets, docs_with_embeddings,
-# audit_orphans, events_session_paths, date_functions,
-# string_functions, exists_subquery;
-# (3) then the round-4 greens oldest first, then round-5, etc.
+# Post-window queue for the ROUND-13 rotation: (1) any entry whose
+# plan changes after its green row next round, (2) the remaining
+# round-4 stale greens (24 left after this window), then round-5
+# greens oldest-first, etc.
 _VERIFY_FIRST = [
-    "orders_cusum_changepoint",
-    "lineitem_theil_sen",
-    "events_range_window",
-    "events_gap_ffill",
-    "tpch_q2_min_price_supplier",
-    "text_rater_kappa",
-    "orders_median_ci_ranks",
-    "events_markov_heldout_acc",
-    "orders_ipw_ate",
-    "events_session_weibull",
-    "text_ttr_length_curve",
+    "join_bloom_prefilter",
+    "graph_kcore_peel",
+    "graph_harmonic_centrality_top",
+    "embedding_pc1",
+    "graph_degree_assortativity",
+    "graph_jaccard_neighbors",
+    "part_price_index",
+    "pipeline_corpus_clean",
+    "supplier_dual_sourcing",
+    "tpch_q18_large_orders",
+    "tpch_q21_suppliers_waiting",
+    "tpch_q3_shipping_priority",
+    "text_lm_score",
+    "text_bigram_lm_score",
     "reco_holdout_hitrate",
-    "dq_functional_dependencies",
-    "text_topk_rbo_eras",
-    "text_source_diversity",
-    "orders_growth_accounting",
-    "events_interarrival_exp_fit",
-    "events_poisson_glm_irls",
-    "orders_retention_halflife",
-    "text_burrows_delta",
-    "events_seasonality_strength",
-    "sim_query_expansion_prf",
-    "events_peak_hour_chernoff",
-    "lineitem_two_way_anova",
-    "embedding_triplet_eval",
-    "part_croston_intermittent",
-    "graph_rich_club",
-    "events_markov_entropy_rate",
-    "supplier_composite_scorecard",
-    "sim_ivf_recall_curve",
-    "orders_newsvendor_stock",
-    "events_pacf_lags",
-    "orders_wasserstein_price_eras",
-    "orders_ar1_backtest",
-    "text_tokenizer_fertility",
-    "text_kn_vs_mle_heldout",
-    "events_dft_weekly_power",
-    "training_temperature_mixture",
-    "dedup_token_savings",
-    "part_price_dispersion_nations",
-    "orders_simpson_paradox_check",
-    "sample_class_balanced",
-    "embedding_hubness_score",
-    "orders_interorder_gamma_fit",
-    "lineitem_rdd_discount5",
-    "orders_lognormal_fit",
-    "graph_degree_powerlaw",
-    "events_cramer_von_mises",
-    "events_gap_fill",
-    "sample_stratified_per_group",
+    "agg_quantiles",
+    "agg_argminmax",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_exact",
+    "unpivot_measures",
+    "join_null_safe",
+    "agg_conditional",
+    "agg_collect_sorted",
+    "sample_hash_deterministic",
+    "text_top_bigrams",
+    "top_supplier_per_nation",
+    "join_fuzzy_name",
+    "agg_grouping_sets",
+    "docs_with_embeddings",
+    "audit_orphans",
+    "events_session_paths",
+    "date_functions",
+    "string_functions",
+    "exists_subquery",
+    "agg_cube",
+    "decontaminate_ngram_overlap",
+    "events_set_ops_all",
+    "join_salted_skew",
+    "multimodal_resize",
+    "pack_sequences",
+    "revenue_share_pct",
+    "sample_mixture_weighted",
+    "scalar_dict_decode_join",
+    "split_train_val_test",
+    "text_scrub_pii",
+    "text_vocab_prune",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
 ]
 
 
