@@ -53,16 +53,24 @@ class QuerySpec:
 #   partition/strategy-invariant this round;
 # slots 20-34: the fifteen remaining round-3 stale greens in registry
 #   order (oldest green rows in the ledger);
-# slots 35-50: the oldest round-4 stale greens (last green == r04,
-#   CORRECTNESS_r04 file order).
+# slots 35-42: the oldest round-4 stale greens (last green == r04,
+#   CORRECTNESS_r04 file order);
+# slots 43-50: the eight NEW round-12 operators (round73.py — Tukey
+#   fences, Lorenz deciles, Brown-Forsythe, SES backtest, Ljung-Box,
+#   Wilcoxon signed-rank, Pettitt, Granger), the bounded registry
+#   unfreeze the r11 verdict allowed; all eight selfchecked at three
+#   SFs + partition/strategy-invariant before shipping.
 # 50/50 green here keeps cumulative coverage at the full oracle-paired
-# registry (393 entries incl. the new twin) AND leaves zero entries
-# whose current plan postdates their last green driver row.
+# registry (401 entries incl. the new twin + round73) AND leaves zero
+# entries whose current plan postdates their last green driver row.
 #
 # Post-window queue for the ROUND-13 rotation: (1) any entry whose
 # plan changes after its green row next round, (2) the remaining
-# round-4 stale greens (24 left after this window), then round-5
-# greens oldest-first, etc.
+# round-4 stale greens (scalar_dict_decode_join, split_train_val_test,
+# text_scrub_pii, text_vocab_prune, tpch_q14_promo_revenue,
+# tpch_q15_top_supplier, tpch_q16_supplier_cnt,
+# tpch_q17_small_quantity, then the rest in CORRECTNESS_r04 order),
+# then round-5 greens oldest-first, etc.
 _VERIFY_FIRST = [
     "join_bloom_prefilter",
     "graph_kcore_peel",
@@ -106,14 +114,14 @@ _VERIFY_FIRST = [
     "pack_sequences",
     "revenue_share_pct",
     "sample_mixture_weighted",
-    "scalar_dict_decode_join",
-    "split_train_val_test",
-    "text_scrub_pii",
-    "text_vocab_prune",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
+    "lineitem_tukey_fences",
+    "orders_lorenz_deciles",
+    "events_brown_forsythe",
+    "events_ses_backtest",
+    "orders_ljung_box",
+    "lineitem_wilcoxon_signed_rank",
+    "events_pettitt_test",
+    "orders_granger_daily",
 ]
 
 
@@ -193,6 +201,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round70,
         round71,
         round72,
+        round73,
         scale,
         tpch2,
         training,
@@ -277,6 +286,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round70,
         round71,
         round72,
+        round73,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
