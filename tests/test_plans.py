@@ -409,6 +409,22 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # cumulative counts over the distinct-cents value frame — the
     # events_two_sample_ks bound, L² statistic.
     "events_cramer_von_mises",
+    # day-frame windows over the daily event-count series (rank cumsum
+    # over distinct daily counts + U_t cumsum over days) — calendar
+    # bound, the orders_cusum_changepoint contract.
+    "events_pettitt_test",
+    # day-frame row_number index for the SES weight grid — calendar
+    # bound.
+    "events_ses_backtest",
+    # day-frame row_number index for the lagged cross-products —
+    # calendar bound.
+    "orders_ljung_box",
+    # day-frame row_number index for the lag-1 regressors — calendar
+    # bound.
+    "orders_granger_daily",
+    # cumulative share over the TEN decile rows (boundary percentiles
+    # themselves use the range-partitioned global prefix sum).
+    "orders_lorenz_deciles",
 }
 
 

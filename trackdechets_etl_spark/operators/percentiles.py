@@ -58,11 +58,30 @@ def exact_percentiles_value_counts(
         .groupBy(*gc, value_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    word = Window.partitionBy(*gc).orderBy(value_col)
-    wall = Window.partitionBy(*gc)
-    ranked = vc.withColumn(
-        "__ccnt", F.sum("__cnt").over(word)
-    ).withColumn("__n", F.max(F.col("__ccnt")).over(wall))
+    if gc:
+        word = Window.partitionBy(*gc).orderBy(value_col)
+        wall = Window.partitionBy(*gc)
+        ranked = vc.withColumn(
+            "__ccnt", F.sum("__cnt").over(word)
+        ).withColumn("__n", F.max(F.col("__ccnt")).over(wall))
+    else:
+        # Global percentiles: no partition key to ride, and a bare
+        # Window.orderBy would funnel every distinct value through ONE
+        # task. Use the range-partitioned exact prefix sum instead
+        # (integer counts — the decomposition is bit-identical), with
+        # the 1-row total broadcast back on.
+        from trackdechets_etl_spark.operators.ranking import (
+            global_row_number,
+        )
+
+        ranked = global_row_number(
+            vc,
+            [F.asc(value_col)],
+            rank_col="__vc_rank",
+            sum_of=("__cnt", "__ccnt"),
+        ).drop("__vc_rank")
+        tot = vc.agg(F.sum("__cnt").cast("long").alias("__n"))
+        ranked = ranked.crossJoin(F.broadcast(tot))
 
     aggs = []
     for i, q in enumerate(fractions):

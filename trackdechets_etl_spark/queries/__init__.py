@@ -53,8 +53,13 @@ class QuerySpec:
 #   partition/strategy-invariant this round;
 # slots 20-34: the fifteen remaining round-3 stale greens in registry
 #   order (oldest green rows in the ledger);
-# slots 35-42: the oldest round-4 stale greens (last green == r04,
-#   CORRECTNESS_r04 file order);
+# slots 35-40: the oldest round-4 stale greens (last green == r04,
+#   CORRECTNESS_r04 file order); slots 41-42: two more round-12 plan
+#   changes (graph_label_propagation — eager edge checkpoint +
+#   argmax-struct double-agg replacing the per-round window, 4.04 →
+#   2.96 s; linkage_edit_distance_join — xxhash64 join keys + dedup
+#   exchange removed, wash locally, scale-correct shape), both
+#   selfchecked at three SFs + partition/strategy-invariant;
 # slots 43-50: the eight NEW round-12 operators (round73.py — Tukey
 #   fences, Lorenz deciles, Brown-Forsythe, SES backtest, Ljung-Box,
 #   Wilcoxon signed-rank, Pettitt, Granger), the bounded registry
@@ -66,7 +71,8 @@ class QuerySpec:
 #
 # Post-window queue for the ROUND-13 rotation: (1) any entry whose
 # plan changes after its green row next round, (2) the remaining
-# round-4 stale greens (scalar_dict_decode_join, split_train_val_test,
+# round-4 stale greens (revenue_share_pct, sample_mixture_weighted,
+# scalar_dict_decode_join, split_train_val_test,
 # text_scrub_pii, text_vocab_prune, tpch_q14_promo_revenue,
 # tpch_q15_top_supplier, tpch_q16_supplier_cnt,
 # tpch_q17_small_quantity, then the rest in CORRECTNESS_r04 order),
@@ -112,8 +118,8 @@ _VERIFY_FIRST = [
     "join_salted_skew",
     "multimodal_resize",
     "pack_sequences",
-    "revenue_share_pct",
-    "sample_mixture_weighted",
+    "graph_label_propagation",
+    "linkage_edit_distance_join",
     "lineitem_tukey_fences",
     "orders_lorenz_deciles",
     "events_brown_forsythe",

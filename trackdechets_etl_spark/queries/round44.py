@@ -185,7 +185,10 @@ def _graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cust").alias("dst"),
             )
         )
-        .localCheckpoint(eager=False)
+        # Eager: a lazy checkpoint materializes only AFTER the first
+        # job finishes, so the single final action would still
+        # re-derive the join+distinct edge list once per round.
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -194,16 +197,23 @@ def _graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         neigh = edges.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("node"), "label")
-        counts = neigh.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("c")
+        # One exchange per round for the big frame: hash(node) from
+        # the repartition satisfies BOTH aggregates (subset rule), and
+        # argmax-by-(count desc, label asc) is a max over a
+        # (c, -label) struct — hash aggregates only, no per-node sort
+        # (the former row_number window re-exchanged counts AND sorted
+        # every partition).
+        counts = (
+            neigh.repartition("node")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        wpick = Window.partitionBy("node").orderBy(
-            F.desc("c"), F.asc("label")
-        )
-        labels = (
-            counts.withColumn("rn", F.row_number().over(wpick))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+        labels = counts.groupBy("node").agg(
+            (
+                -F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                )["nl"]
+            ).alias("label")
         )
     return (
         labels.groupBy("label")

@@ -530,8 +530,14 @@ def _lineitem_wilcoxon_signed_rank(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum("pos").cast("long").alias("npos"),
     )
-    wv = Window.orderBy("ad")
-    ranked = vc.withColumn("ccnt", F.sum("cnt").over(wv))
+    # Distinct |d| values grow with the order count, so the rank
+    # cumsum uses the range-partitioned exact prefix sum (integer —
+    # bit-identical decomposition), not a single-partition window.
+    from trackdechets_etl_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(
+        vc, [F.asc("ad")], rank_col="__vc_rank", sum_of=("cnt", "ccnt")
+    ).drop("__vc_rank")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     two_rbar = 2 * (F.col("ccnt") - F.col("cnt")) + F.col("cnt") + 1
     agg = ranked.agg(
