@@ -135,14 +135,21 @@ def _supplier_dual_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey"),
         F.col("s_nationkey").alias("nationkey"),
     )
-    per_part = (
+    # Two-stage instead of a double countDistinct: the 2-distinct
+    # aggregate Expands the joined frame 3× before shuffling; the
+    # (part, supplier) pre-aggregate map-side-combines ~7× (avg
+    # lineitems per pair) and leaves ONE distinct set, which Spark
+    # plans without Expand. Results identical: (partkey, suppkey) is
+    # unique after stage 1, so count(*) IS the distinct supplier count.
+    pairs = (
         li.join(s, "l_suppkey")
-        .groupBy("l_partkey")
-        .agg(
-            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
-            F.countDistinct("nationkey").cast("long").alias("n_nations"),
-            F.sum("cents").alias("cents"),
-        )
+        .groupBy("l_partkey", "l_suppkey", "nationkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    per_part = pairs.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.countDistinct("nationkey").cast("long").alias("n_nations"),
+        F.sum("cents").alias("cents"),
     )
     # most-concentrated first (fewest nations, then fewest suppliers,
     # then biggest revenue at stake): always a 20-row worklist — a
