@@ -69,8 +69,11 @@ class QuerySpec:
 # registry (401 entries incl. the new twin + round73) AND leaves zero
 # entries whose current plan postdates their last green driver row.
 #
-# Post-window queue for the ROUND-13 rotation: (1) any entry whose
-# plan changes after its green row next round, (2) the remaining
+# Post-window queue for the ROUND-13 rotation: (1) the two round74
+# additions shipped late in round 12 (events_bartlett_test,
+# events_friedman_test — selfchecked at three SFs + partition/
+# strategy-invariant, never driver-checked), (2) any entry whose
+# plan changes after its green row next round, (3) the remaining
 # round-4 stale greens (revenue_share_pct, sample_mixture_weighted,
 # scalar_dict_decode_join, split_train_val_test,
 # text_scrub_pii, text_vocab_prune, tpch_q14_promo_revenue,
@@ -208,6 +211,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round71,
         round72,
         round73,
+        round74,
         scale,
         tpch2,
         training,
@@ -293,6 +297,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round71,
         round72,
         round73,
+        round74,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
