@@ -69,9 +69,9 @@ class QuerySpec:
 # registry (401 entries incl. the new twin + round73) AND leaves zero
 # entries whose current plan postdates their last green driver row.
 #
-# Post-window queue for the ROUND-13 rotation: (1) the two round74
+# Post-window queue for the ROUND-13 rotation: (1) the round74/75
 # additions shipped late in round 12 (events_bartlett_test,
-# events_friedman_test — selfchecked at three SFs + partition/
+# events_friedman_test, text_bleu_dup_pairs — selfchecked at three SFs + partition/
 # strategy-invariant, never driver-checked), (2) any entry whose
 # plan changes after its green row next round, (3) the remaining
 # round-4 stale greens (revenue_share_pct, sample_mixture_weighted,
@@ -212,6 +212,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round72,
         round73,
         round74,
+        round75,
         scale,
         tpch2,
         training,
@@ -298,6 +299,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round72,
         round73,
         round74,
+        round75,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
