@@ -71,7 +71,8 @@ class QuerySpec:
 #
 # Post-window queue for the ROUND-13 rotation: (1) the round74/75
 # additions shipped late in round 12 (events_bartlett_test,
-# events_friedman_test, text_bleu_dup_pairs — selfchecked at three SFs + partition/
+# events_friedman_test, text_bleu_dup_pairs,
+# text_winnow_fingerprints, dedup_winnow_pairs — selfchecked at three SFs + partition/
 # strategy-invariant, never driver-checked), (2) any entry whose
 # plan changes after its green row next round, (3) the remaining
 # round-4 stale greens (revenue_share_pct, sample_mixture_weighted,
@@ -213,6 +214,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round73,
         round74,
         round75,
+        round76,
         scale,
         tpch2,
         training,
@@ -300,6 +302,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round73,
         round74,
         round75,
+        round76,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
