@@ -90,3 +90,27 @@ def test_multi_group_cols(spark):
             df, ["g1", "g2"], "v", FRACTIONS, ALIASES
         ).withColumn("k", F.concat("g1", "g2")).drop("g1", "g2"),
     )
+
+
+def test_all_null_group_preserved(spark):
+    """Regression (round-12 advice): a group whose values are ALL NULL
+    must keep its row with NULL percentiles, exactly as F.percentile
+    and DuckDB quantile_cont do — not vanish at the isNotNull filter."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None), ("b", None), (None, 5.0)],
+        "g string, v double",
+    )
+    _assert_bitwise_equal(
+        _reference(df, ["g"]),
+        exact_percentiles_value_counts(df, ["g"], "v", FRACTIONS, ALIASES),
+    )
+    out = {
+        r.g: r
+        for r in exact_percentiles_value_counts(
+            df, ["g"], "v", FRACTIONS, ALIASES
+        ).collect()
+    }
+    assert set(out) == {"a", "b", None}
+    assert all(getattr(out["b"], a) is None for a in ALIASES)
+    # NULL group KEY with real values still computes (null-safe join)
+    assert out[None].p0 == 5.0

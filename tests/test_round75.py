@@ -48,3 +48,24 @@ def test_bleu_bounded_and_bp_at_most_one(spark):
         assert 0.0 <= r.bleu2 <= 1.0
         # geometric mean with bp<=1 can never exceed unigram precision
         assert r.bleu2 <= r.p1 + 1e-9 or r.p2 > r.p1
+
+
+def test_single_token_docs_do_not_crash(spark):
+    """Regression (round-12 advice): a sub-2-token doc in a candidate
+    pair used to hit Spark's sequence(1, 0) descending quirk and throw
+    ELEMENT_AT_BY_INDEX_ZERO. Identical 1-token texts always share a
+    SimHash bucket, so this exercises the guard directly."""
+    rows = _run_on_docs(
+        spark,
+        [
+            (1, "hello", "a"),
+            (2, "hello", "a"),
+            (3, "", "a"),
+            (4, "", "a"),
+        ],
+    )
+    by_pair = {(r.id_a, r.id_b): r for r in rows}
+    r = by_pair[(1, 2)]
+    assert r.p1 == 1.0
+    assert r.p2 is None  # no bigrams exist on either side
+    assert r.bleu2 == 0.0

@@ -35,7 +35,11 @@ def norm_val(v) -> str:
     if hasattr(v, "isoformat"):
         return "d:" + v.isoformat()
     if isinstance(v, str):
-        return "s:" + v
+        # Length-prefixed so container separators can never be forged
+        # by string CONTENT: without it, ["a,s:b"] and ["a","b"] both
+        # serialize to "a:[s:a,s:b]" and an element-boundary shift
+        # between regimes would pass the bit-identical gates.
+        return "s" + str(len(v)) + ":" + v
     # Containers (arrays/structs/maps) normalize element-wise so the
     # same collision-freedom holds inside nested values.
     if isinstance(v, (list, tuple)):
@@ -49,7 +53,8 @@ def norm_val(v) -> str:
             )
             + "}"
         )
-    return "o:" + str(v)
+    s = str(v)
+    return "o" + str(len(s)) + ":" + s
 
 
 def canon(rows, cols) -> list[tuple[str, ...]]:

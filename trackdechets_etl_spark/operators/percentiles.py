@@ -121,4 +121,24 @@ def exact_percentiles_value_counts(
             )
             .alias(name)
         )
-    return g.select(*gc, *outs)
+    res = g.select(*gc, *outs)
+    if gc:
+        # A group whose values are ALL NULL vanished at the isNotNull
+        # pre-filter, but F.percentile (and DuckDB quantile_cont) keep
+        # the group row with a NULL percentile. Re-seat such groups via
+        # a left join from the full group domain (null-safe equality so
+        # NULL group KEYS still match their computed row); on data with
+        # no all-NULL groups this is a no-op on values and the extra
+        # agg is over the already-shuffled group keys (map-side
+        # combined, group-domain-sized — never row-sized).
+        groups = df.select(*gc).distinct()
+        renamed = res.select(
+            *[F.col(c).alias(f"__pg_{c}") for c in gc],
+            *aliases,
+        )
+        cond = None
+        for c in gc:
+            eq = F.col(c).eqNullSafe(F.col(f"__pg_{c}"))
+            cond = eq if cond is None else cond & eq
+        res = groups.join(renamed, cond, "left").select(*gc, *aliases)
+    return res

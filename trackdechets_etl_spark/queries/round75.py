@@ -34,12 +34,19 @@ def _gram_counts(d: DataFrame) -> DataFrame:
     uni = d.select(
         "doc_id", F.lit(1).alias("n"), F.explode(ws).alias("g")
     )
-    arr2 = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+    # Guard: Spark sequence(1, n) with n < 1 yields a DESCENDING
+    # sequence (step −1) that includes index 0, and element_at(ws, 0)
+    # throws — a sub-2-token doc must produce zero bigrams, as the
+    # DuckDB oracle's generate_series(1, 0) does natively.
+    arr2 = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     bi = d.select(
         "doc_id", F.lit(2).alias("n"), F.explode(arr2).alias("g")
     )
