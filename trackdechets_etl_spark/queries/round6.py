@@ -512,23 +512,58 @@ def _dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__exact", F.lit(1))
     )
 
-    # shingle frame feeds candidates (both filtered sides) + the
-    # verification joins — same lazy-checkpoint discipline as
-    # ngram_jaccard_pairs (docs/SCALE.md)
-    sh_all = shingles(d, "text", "doc_id", 3).localCheckpoint(eager=False)
-    sh_new = sh_all.filter(F.col("doc_id") % _INCR_MOD == 0)
-    sh_corpus = sh_all.filter(F.col("doc_id") % _INCR_MOD != 0)
+    # r13 (verdict ask #4): the batch×corpus candidate join now runs
+    # on AllPairs PREFIX shingles with the size-ratio prune, exactly
+    # like ngram_jaccard_pairs — under the xxhash64 total order, two
+    # docs with J ≥ t must share a shingle within each one's first
+    # |d| − ceil(t·|d|) + 1 shingles, and the theorem doesn't care
+    # that one side is the batch and the other the corpus, so the
+    # result set is provably unchanged while the inverted-index join
+    # shrinks ~(1−t)² on both sides. One keyed shingle frame feeds
+    # four consumers (sizes, prefix window, both verification joins) —
+    # eager checkpoint per the measured many-consumer rule.
+    keyed = (
+        shingles(d, "text", "doc_id", 3)
+        .select("doc_id", F.xxhash64("shingle").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    wp = Window.partitionBy("doc_id").orderBy("k")
+    pref = (
+        keyed.withColumn("__rn", F.row_number().over(wp))
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("__rn")
+            <= F.col("n_sh")
+            - F.ceil(
+                F.lit(JACCARD_THRESHOLD) * F.col("n_sh") - F.lit(1e-9)
+            )
+            + 1
+        )
+    )
+    pa = pref.filter(F.col("doc_id") % _INCR_MOD == 0).select(
+        F.col("doc_id").alias("id_a"), "k", F.col("n_sh").alias("n_a")
+    )
+    pb = pref.filter(F.col("doc_id") % _INCR_MOD != 0).select(
+        F.col("doc_id").alias("id_b"), "k", F.col("n_sh").alias("n_b")
+    )
     candidates = (
-        sh_new.select(F.col("doc_id").alias("id_a"), "shingle")
-        .join(
-            sh_corpus.select(F.col("doc_id").alias("id_b"), "shingle"),
-            "shingle",
+        pa.join(pb, "k")
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.lit(JACCARD_THRESHOLD) * F.greatest("n_a", "n_b")
+            - F.lit(1e-9)
         )
         .select("id_a", "id_b")
         .distinct()
     )
     near = (
-        _pair_jaccard(sh_all, "doc_id", candidates)
+        _pair_jaccard(
+            keyed.withColumnRenamed("k", "shingle"),
+            "doc_id",
+            candidates,
+            keyed=True,
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .groupBy("id_a")
         .agg(F.count(F.lit(1)).alias("n_near"))
