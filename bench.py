@@ -71,27 +71,59 @@ def main() -> None:
     # scan and cpu sat in the anchor band while every shuffle-heavy
     # query ran uniformly ~30% high — only a shuffle probe can separate
     # "slow shuffle disk/page cache" from a plan regression.
-    calib_scan: list[float] = []
-    calib_cpu: list[float] = []
-    calib_shuffle: list[float] = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
-            "sum(l_extendedprice)", "count(*)"
-        ).collect()
-        calib_scan.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr(
-            "sum(cast(id % 1000003 as double) * (id % 999983))"
-        ).collect()
-        calib_cpu.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        spark.range(20_000_000).selectExpr(
-            "id % 1000003 as k", "cast(id as double) as v"
-        ).groupBy("k").sum("v").selectExpr(
-            "sum(`sum(v)`)", "count(*)"
-        ).collect()
-        calib_shuffle.append(time.perf_counter() - t0)
+    def run_probes() -> tuple[list[float], list[float], list[float]]:
+        scan: list[float] = []
+        cpu: list[float] = []
+        shuffle: list[float] = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+                "sum(l_extendedprice)", "count(*)"
+            ).collect()
+            scan.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr(
+                "sum(cast(id % 1000003 as double) * (id % 999983))"
+            ).collect()
+            cpu.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            spark.range(20_000_000).selectExpr(
+                "id % 1000003 as k", "cast(id as double) as v"
+            ).groupBy("k").sum("v").selectExpr(
+                "sum(`sum(v)`)", "count(*)"
+            ).collect()
+            shuffle.append(time.perf_counter() - t0)
+        return scan, cpu, shuffle
+
+    calib_scan, calib_cpu, calib_shuffle = run_probes()
+    # Probe gate (VERDICT r12 ask #5): the repo's three-probe anchor
+    # (docs/SCALE.md, round-12 section) puts a quiet box at
+    # shuffle ≈ 0.912 s. BENCH_r12 ran at loadavg 8.7 with the shuffle
+    # probe at 1.086 and the round's total had to be adjudicated from a
+    # separate quiet-box run — so when the probe lands >1.2× the anchor
+    # band at the reference SF, wait out the burst once and re-probe;
+    # if it is STILL above, the JSON self-annotates as a noisy-box run
+    # instead of leaving the call to round-over-round argument. The
+    # anchor is sf0.1-specific (probe workloads are fixed but the scan
+    # probe reads the SF's lineitem), so the gate only arms there.
+    ANCHOR_SHUFFLE_SEC = 0.912
+    PROBE_BAND = 1.2
+    probe_retried = False
+    noisy_box = False
+    if sf == 0.1 and min(calib_shuffle) > PROBE_BAND * ANCHOR_SHUFFLE_SEC:
+        probe_retried = True
+        print(
+            f"# shuffle probe {min(calib_shuffle):.3f}s > "
+            f"{PROBE_BAND}x anchor {ANCHOR_SHUFFLE_SEC}s — waiting 60s "
+            "and re-probing once",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+        s2, c2, sh2 = run_probes()
+        calib_scan += s2
+        calib_cpu += c2
+        calib_shuffle += sh2
+        noisy_box = min(sh2) > PROBE_BAND * ANCHOR_SHUFFLE_SEC
 
     # Min-of-N per query: the box is shared, and a single co-tenant
     # burst can inflate one query 5-10× — and can span several
@@ -147,6 +179,9 @@ def main() -> None:
                 },
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "anchor_shuffle_sec": ANCHOR_SHUFFLE_SEC,
+                "probe_retried": probe_retried,
+                "noisy_box": noisy_box,
             }
         )
     )
