@@ -36,102 +36,86 @@ class QuerySpec:
 # differently; fixed this round by casting the final column to int64
 # both sides, see round56.py and tests/test_output_types.py).
 #
-# The ROUND-12 front below = exactly the r11 verdict's ask #1 (land
-# the queued stale-green window), extended by this round's own plan
-# changes:
-# slots 1-12: the r11 plan-changed-after-green entries as queued
-#   (join_bloom_prefilter bitmap probe; graph_kcore_peel oracle-side
-#   AS MATERIALIZED; graph_harmonic_centrality_top mask-BFS; the nine
-#   broadcast-hint-sweep plan changes incl. tpch_q3/q18/q21);
-# slots 13-19: round-12 plan changes/new entries — text_lm_score +
-#   text_bigram_lm_score (grow-with-data LM tables unhinted, ADVICE
-#   fix), reco_holdout_hitrate (profile-checkpoint restructure),
-#   agg_quantiles + agg_argminmax (distributed value-counts exact
-#   percentiles), dedup_embedding_cosine (now the LSH-bucketed
-#   production form) and its NEW exact recall-eval twin
-#   dedup_embedding_cosine_exact — all selfchecked at three SFs +
-#   partition/strategy-invariant this round;
-# slots 20-34: the fifteen remaining round-3 stale greens in registry
-#   order (oldest green rows in the ledger);
-# slots 35-40: the oldest round-4 stale greens (last green == r04,
-#   CORRECTNESS_r04 file order); slots 41-42: two more round-12 plan
-#   changes (graph_label_propagation — eager edge checkpoint +
-#   argmax-struct double-agg replacing the per-round window, 4.04 →
-#   2.96 s; linkage_edit_distance_join — xxhash64 join keys + dedup
-#   exchange removed, wash locally, scale-correct shape), both
-#   selfchecked at three SFs + partition/strategy-invariant;
-# slots 43-50: the eight NEW round-12 operators (round73.py — Tukey
-#   fences, Lorenz deciles, Brown-Forsythe, SES backtest, Ljung-Box,
-#   Wilcoxon signed-rank, Pettitt, Granger), the bounded registry
-#   unfreeze the r11 verdict allowed; all eight selfchecked at three
-#   SFs + partition/strategy-invariant before shipping.
-# 50/50 green here keeps cumulative coverage at the full oracle-paired
-# registry (401 entries incl. the new twin + round73) AND leaves zero
-# entries whose current plan postdates their last green driver row.
-#
-# Post-window queue for the ROUND-13 rotation: (1) the round74/75
-# additions shipped late in round 12 (events_bartlett_test,
-# events_friedman_test, text_bleu_dup_pairs,
-# text_winnow_fingerprints, dedup_winnow_pairs — selfchecked at three SFs + partition/
-# strategy-invariant, never driver-checked), (2) any entry whose
-# plan changes after its green row next round, (3) the remaining
-# round-4 stale greens (revenue_share_pct, sample_mixture_weighted,
-# scalar_dict_decode_join, split_train_val_test,
-# text_scrub_pii, text_vocab_prune, tpch_q14_promo_revenue,
-# tpch_q15_top_supplier, tpch_q16_supplier_cnt,
-# tpch_q17_small_quantity, then the rest in CORRECTNESS_r04 order),
-# then round-5 greens oldest-first, etc.
+# The ROUND-13 front below = the r12 verdict's ask #1 plus this
+# round's own plan changes, then the stale-green rotation:
+# slots 1-5: the round74-76 late additions with no driver row yet
+#   (bartlett, friedman, BLEU-2 pairs, winnowing fingerprints + match
+#   step) — the only registry entries never driver-checked; green in
+#   the r12 judge's independent full drive and in this round's
+#   drive-mirror runs;
+# slots 6-14: entries whose plan changed THIS round after their last
+#   green row — graph_jaccard_neighbors (distinct/window exchange
+#   fuse), profile_orders (Expand -> unpivot shape, cold-measured),
+#   dedup_incremental_batch (AllPairs prefix filter on the batch x
+#   corpus verify stage), the five exact_percentiles_value_counts
+#   consumers (all-NULL-group preservation left join: agg_quantiles,
+#   agg_argminmax, lineitem_tukey_fences, orders_lorenz_deciles,
+#   events_brown_forsythe), and linkage_edit_distance_join (max_block
+#   knob — default-None path is plan-identical, queued out of
+#   caution); all selfchecked at sf0.01 + full drive-mirror green
+#   this round;
+# slots 15-50: stale-green rotation, oldest last-green first in each
+#   round's CORRECTNESS file order — the remaining r04 greens
+#   (revenue_share_pct ... window_rank_ratios and the rest of the
+#   r04 ledger), then the oldest r05 greens (events_dwell_times,
+#   events_funnel_horizon).
+# Post-window queue for the ROUND-14 rotation: (1) any entry whose
+# plan changes after its green row next round, (2) the remaining
+# round-5 stale greens in CORRECTNESS_r05 order (diff_merkle_buckets,
+# dq_benford_digits, embedding_standardize, events_ab_lift,
+# events_chisq, events_cusum_changepoint, ...), then round-6 greens
+# oldest-first, etc.
 _VERIFY_FIRST = [
-    "join_bloom_prefilter",
-    "graph_kcore_peel",
-    "graph_harmonic_centrality_top",
-    "embedding_pc1",
-    "graph_degree_assortativity",
+    "events_bartlett_test",
+    "events_friedman_test",
+    "text_bleu_dup_pairs",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
     "graph_jaccard_neighbors",
-    "part_price_index",
-    "pipeline_corpus_clean",
-    "supplier_dual_sourcing",
-    "tpch_q18_large_orders",
-    "tpch_q21_suppliers_waiting",
-    "tpch_q3_shipping_priority",
-    "text_lm_score",
-    "text_bigram_lm_score",
-    "reco_holdout_hitrate",
+    "profile_orders",
+    "dedup_incremental_batch",
     "agg_quantiles",
     "agg_argminmax",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_exact",
-    "unpivot_measures",
-    "join_null_safe",
-    "agg_conditional",
-    "agg_collect_sorted",
-    "sample_hash_deterministic",
-    "text_top_bigrams",
-    "top_supplier_per_nation",
-    "join_fuzzy_name",
-    "agg_grouping_sets",
-    "docs_with_embeddings",
-    "audit_orphans",
-    "events_session_paths",
-    "date_functions",
-    "string_functions",
-    "exists_subquery",
-    "agg_cube",
-    "decontaminate_ngram_overlap",
-    "events_set_ops_all",
-    "join_salted_skew",
-    "multimodal_resize",
-    "pack_sequences",
-    "graph_label_propagation",
-    "linkage_edit_distance_join",
     "lineitem_tukey_fences",
     "orders_lorenz_deciles",
     "events_brown_forsythe",
-    "events_ses_backtest",
-    "orders_ljung_box",
-    "lineitem_wilcoxon_signed_rank",
-    "events_pettitt_test",
-    "orders_granger_daily",
+    "linkage_edit_distance_join",
+    "revenue_share_pct",
+    "sample_mixture_weighted",
+    "scalar_dict_decode_join",
+    "split_train_val_test",
+    "text_scrub_pii",
+    "text_vocab_prune",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_rank_ratios",
+    "tpch_q20_potential_promotion",
+    "events_retention_cohorts",
+    "events_scd2_validity",
+    "text_chunk_overlap",
+    "text_repetition_stats",
+    "graph_pagerank",
+    "diag_key_skew",
+    "hierarchy_roots",
+    "events_anomaly_zscore",
+    "diff_snapshots",
+    "dq_rule_violations",
+    "sample_weighted_reservoir",
+    "agg_stats_suite",
+    "string_agg_sorted",
+    "events_running_distinct",
+    "flagship_revenue_by_nation",
+    "events_dwell_times",
+    "events_funnel_horizon",
 ]
 
 
