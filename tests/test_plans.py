@@ -425,6 +425,9 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # cumulative share over the TEN decile rows (boundary percentiles
     # themselves use the range-partitioned global prefix sum).
     "orders_lorenz_deciles",
+    # pooled-median pick over the distinct-cents value frame —
+    # identical bound and contract as events_kruskal_wallis.
+    "events_mood_median",
 }
 
 

@@ -59,12 +59,15 @@ class QuerySpec:
 #   (revenue_share_pct ... window_rank_ratios and the rest of the
 #   r04 ledger), then the oldest r05 greens (events_dwell_times,
 #   events_funnel_horizon).
-# Post-window queue for the ROUND-14 rotation: (1) any entry whose
-# plan changes after its green row next round, (2) the remaining
-# round-5 stale greens in CORRECTNESS_r05 order (diff_merkle_buckets,
-# dq_benford_digits, embedding_standardize, events_ab_lift,
-# events_chisq, events_cusum_changepoint, ...), then round-6 greens
-# oldest-first, etc.
+# Post-window queue for the ROUND-14 rotation: (1) the round77
+# additions shipped this round (text_rouge_dup_pairs,
+# events_mood_median, events_cochran_q, events_mcnemar — selfchecked
+# at three SFs + partition/strategy-invariant, never driver-checked),
+# (2) any entry whose plan changes after its green row next round,
+# (3) the remaining round-5 stale greens in CORRECTNESS_r05 order
+# (diff_merkle_buckets, dq_benford_digits, embedding_standardize,
+# events_ab_lift, events_chisq, events_cusum_changepoint, ...), then
+# round-6 greens oldest-first, etc.
 _VERIFY_FIRST = [
     "events_bartlett_test",
     "events_friedman_test",
@@ -199,6 +202,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round74,
         round75,
         round76,
+        round77,
         scale,
         tpch2,
         training,
@@ -287,6 +291,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round74,
         round75,
         round76,
+        round77,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
