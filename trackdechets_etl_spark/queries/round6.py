@@ -542,17 +542,41 @@ def _dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pa = pref.filter(F.col("doc_id") % _INCR_MOD == 0).select(
-        F.col("doc_id").alias("id_a"), "k", F.col("n_sh").alias("n_a")
+        F.col("doc_id").alias("id_a"),
+        "k",
+        F.col("n_sh").alias("n_a"),
+        F.col("__rn").alias("rn_a"),
     )
     pb = pref.filter(F.col("doc_id") % _INCR_MOD != 0).select(
-        F.col("doc_id").alias("id_b"), "k", F.col("n_sh").alias("n_b")
+        F.col("doc_id").alias("id_b"),
+        "k",
+        F.col("n_sh").alias("n_b"),
+        F.col("__rn").alias("rn_b"),
+    )
+    # PPJoin positional bound, same proof as ngram_jaccard_pairs
+    # (llm/dedup.py): the true pair's FIRST common shingle always
+    # satisfies it, so the distinct below still sees every J ≥ t pair.
+    alpha = F.ceil(
+        F.lit(JACCARD_THRESHOLD / (1.0 + JACCARD_THRESHOLD))
+        * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
     )
     candidates = (
         pa.join(pb, "k")
         .filter(
-            F.least("n_a", "n_b")
-            >= F.lit(JACCARD_THRESHOLD) * F.greatest("n_a", "n_b")
-            - F.lit(1e-9)
+            (
+                F.least("n_a", "n_b")
+                >= F.lit(JACCARD_THRESHOLD) * F.greatest("n_a", "n_b")
+                - F.lit(1e-9)
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("rn_a"),
+                    F.col("n_b") - F.col("rn_b"),
+                )
+                >= alpha
+            )
         )
         .select("id_a", "id_b")
         .distinct()
