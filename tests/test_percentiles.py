@@ -114,3 +114,48 @@ def test_all_null_group_preserved(spark):
     assert all(getattr(out["b"], a) is None for a in ALIASES)
     # NULL group KEY with real values still computes (null-safe join)
     assert out[None].p0 == 5.0
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", None]),
+                st.one_of(
+                    st.none(),
+                    st.integers(min_value=-50, max_value=50).map(
+                        lambda i: i / 4.0
+                    ),
+                ),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def test_property_matches_builtin_with_nulls(spark, rows):
+        """Random groups/values including NULL group keys, NULL values
+        and all-NULL groups: bit-identical to F.percentile per group."""
+        df = spark.createDataFrame(rows, "g string, v double")
+        _assert_bitwise_equal(
+            _reference(df, ["g"]),
+            exact_percentiles_value_counts(
+                df, ["g"], "v", FRACTIONS, ALIASES
+            ),
+        )
