@@ -95,8 +95,20 @@ def _text_bleu_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("tot").alias("tot_a"),
     )
+    # r13 plan shrink: ride the doc lengths (= the n=1 totals) through
+    # the per-n precision rows and recover them in the same wide
+    # aggregation, instead of two dedicated length-lens joins after it
+    # — two exchanges fewer, identical rows: len_a is non-null exactly
+    # when id_a has unigrams (the old INNER la join) and likewise
+    # len_b, so the filter below reproduces the old inner-join row set.
+    tb = totals.select(
+        F.col("doc_id").alias("id_b"),
+        "n",
+        F.col("tot").alias("tot_b"),
+    )
     prec = (
         pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "n"], "left")
         .join(clip, ["id_a", "id_b", "n"], "left")
         .select(
             "id_a",
@@ -106,17 +118,19 @@ def _text_bleu_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("clip", F.lit(0)).cast("double")
                 / F.col("tot_a")
             ).alias("p"),
+            "tot_a",
+            "tot_b",
         )
     )
-    wide = prec.groupBy("id_a", "id_b").agg(
-        F.max(F.when(F.col("n") == 1, F.col("p"))).alias("p1"),
-        F.max(F.when(F.col("n") == 2, F.col("p"))).alias("p2"),
-    )
-    la = totals.filter(F.col("n") == 1).select(
-        F.col("doc_id").alias("id_a"), F.col("tot").alias("len_a")
-    )
-    lb = totals.filter(F.col("n") == 1).select(
-        F.col("doc_id").alias("id_b"), F.col("tot").alias("len_b")
+    wide = (
+        prec.groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.when(F.col("n") == 1, F.col("p"))).alias("p1"),
+            F.max(F.when(F.col("n") == 2, F.col("p"))).alias("p2"),
+            F.max(F.when(F.col("n") == 1, F.col("tot_a"))).alias("len_a"),
+            F.max(F.when(F.col("n") == 1, F.col("tot_b"))).alias("len_b"),
+        )
+        .filter(F.col("len_a").isNotNull() & F.col("len_b").isNotNull())
     )
     bp = F.when(F.col("len_a") >= F.col("len_b"), F.lit(1.0)).otherwise(
         F.exp(1.0 - F.col("len_b").cast("double") / F.col("len_a"))
@@ -126,9 +140,7 @@ def _text_bleu_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__bp") * F.sqrt(F.col("p1") * F.col("p2")),
     ).otherwise(0.0)
     return (
-        wide.join(la, "id_a")
-        .join(lb, "id_b")
-        .withColumn("__bp", bp)
+        wide.withColumn("__bp", bp)
         .select(
             "id_a",
             "id_b",
