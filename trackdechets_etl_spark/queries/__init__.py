@@ -54,18 +54,18 @@ class QuerySpec:
 #   knob — default-None path is plan-identical, queued out of
 #   caution); all selfchecked at sf0.01 + full drive-mirror green
 #   this round;
-# slots 15-45: stale-green rotation, oldest last-green first in each
+# slots 15-44: stale-green rotation, oldest last-green first in each
 #   round's CORRECTNESS file order — the remaining r04 greens
 #   (revenue_share_pct ... window_rank_ratios and the rest of the
 #   r04 ledger);
-# slots 46-50: the five PPJoin-plan-changed entries (see the inline
+# slots 45-50: the six PPJoin-plan-changed entries (see the inline
 #   comment in the list).
 # Post-window queue for the ROUND-14 rotation: (1) the round77
 # additions shipped this round (text_rouge_dup_pairs,
 # events_mood_median, events_cochran_q, events_mcnemar — selfchecked
 # at three SFs + partition/strategy-invariant, never driver-checked),
-# then the five rotation slots evicted for the PPJoin plan changes
-# (string_agg_sorted, events_running_distinct,
+# then the six rotation slots evicted for the PPJoin plan changes
+# (agg_stats_suite, string_agg_sorted, events_running_distinct,
 # flagship_revenue_by_nation, events_dwell_times,
 # events_funnel_horizon),
 # (2) any entry whose plan changes after its green row next round,
@@ -118,15 +118,17 @@ _VERIFY_FIRST = [
     "diff_snapshots",
     "dq_rule_violations",
     "sample_weighted_reservoir",
-    "agg_stats_suite",
-    # slots 46-50 (swapped in late-round): the five entries whose plan
+    # slots 45-50 (swapped in late-round): the six entries whose plan
     # changed with the r13 PPJoin positional filter in
-    # ngram_jaccard_pairs (llm/dedup.py) — each selfchecked at three
-    # SFs + partition/strategy-invariant after the change; the five
-    # evicted stale-rotation entries (string_agg_sorted,
-    # events_running_distinct, flagship_revenue_by_nation,
-    # events_dwell_times, events_funnel_horizon) move to the round-14
-    # queue front after the round77 additions.
+    # ngram_jaccard_pairs (llm/dedup.py) — the five direct consumers
+    # plus dedup_token_savings (transitive via _dedup_clusters) —
+    # each selfchecked at three SFs + partition/strategy-invariant
+    # after the change; the six evicted stale-rotation entries
+    # (agg_stats_suite, string_agg_sorted, events_running_distinct,
+    # flagship_revenue_by_nation, events_dwell_times,
+    # events_funnel_horizon) move to the round-14 queue front after
+    # the round77 additions.
+    "dedup_token_savings",
     "dedup_ngram_jaccard",
     "pipeline_corpus_clean",
     "dedup_minhash_recall",
