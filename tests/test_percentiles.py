@@ -159,3 +159,34 @@ if _HYP:
                 df, ["g"], "v", FRACTIONS, ALIASES
             ),
         )
+
+
+def test_alias_guard_rejects_collisions(spark):
+    """Aliases colliding with group columns or using the reserved
+    internal prefix must fail loudly at entry (r13 advice), not
+    produce ambiguous selects downstream."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="group columns"):
+        exact_percentiles_value_counts(df, ["g"], "v", [0.5], ["g"])
+    with pytest.raises(ValueError, match="__pg_"):
+        exact_percentiles_value_counts(
+            df, ["g"], "v", [0.5], ["__pg_p50"]
+        )
+
+
+def test_plan_single_scan_no_join(spark):
+    """The r14 shape: NULL-value rows carry __cnt = 0 through the one
+    aggregation, so all-NULL groups fall out of the math — the plan
+    must contain exactly ONE source scan and NO join (the old re-seat
+    join scanned the input twice)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    r = exact_percentiles_value_counts(
+        df, ["l_returnflag"], "l_quantity", [0.5], ["p50"]
+    )
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    first_detail = plan.find("(1) ")
+    tree = plan[:first_detail] if first_detail > 0 else plan
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree

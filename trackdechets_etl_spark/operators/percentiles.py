@@ -53,10 +53,32 @@ def exact_percentiles_value_counts(
     if len(fractions) != len(aliases):
         raise ValueError("fractions and aliases must pair up")
     gc = list(group_cols)
-    vc = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*gc, value_col)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+    clash = set(aliases) & set(gc)
+    if clash:
+        raise ValueError(
+            "exact_percentiles_value_counts: output aliases must not"
+            f" collide with group columns (got {sorted(clash)}); the"
+            " all-NULL-group re-seat join selects both"
+        )
+    if any(a.startswith("__pg_") for a in aliases):
+        raise ValueError(
+            "exact_percentiles_value_counts: aliases must not use the"
+            " reserved '__pg_' prefix (internal re-seat join names)"
+        )
+    # ONE aggregate, NO null pre-filter (r13 advice — the old
+    # df.select(gc).distinct() re-seat domain was a second full
+    # scan+shuffle of the raw input). count(value_col) gives the
+    # NULL-value group row __cnt = 0, so it flows through the whole
+    # pipeline contributing nothing: it sorts first (NULLS FIRST),
+    # covers the empty rank range [0, 0), and never satisfies the
+    # bracketing predicate. A group whose values are ALL NULL keeps
+    # exactly this one row with __n = 0, making p = -q, whose bracket
+    # row doesn't exist — the conditional maxes return NULL, which is
+    # precisely F.percentile's (and quantile_cont's) answer for such a
+    # group. The re-seat join the old shape needed disappears
+    # entirely (plan-asserted in tests/test_operators.py).
+    vc = df.groupBy(*gc, value_col).agg(
+        F.count(value_col).alias("__cnt")
     )
     if gc:
         word = Window.partitionBy(*gc).orderBy(value_col)
@@ -121,24 +143,4 @@ def exact_percentiles_value_counts(
             )
             .alias(name)
         )
-    res = g.select(*gc, *outs)
-    if gc:
-        # A group whose values are ALL NULL vanished at the isNotNull
-        # pre-filter, but F.percentile (and DuckDB quantile_cont) keep
-        # the group row with a NULL percentile. Re-seat such groups via
-        # a left join from the full group domain (null-safe equality so
-        # NULL group KEYS still match their computed row); on data with
-        # no all-NULL groups this is a no-op on values and the extra
-        # agg is over the already-shuffled group keys (map-side
-        # combined, group-domain-sized — never row-sized).
-        groups = df.select(*gc).distinct()
-        renamed = res.select(
-            *[F.col(c).alias(f"__pg_{c}") for c in gc],
-            *aliases,
-        )
-        cond = None
-        for c in gc:
-            eq = F.col(c).eqNullSafe(F.col(f"__pg_{c}"))
-            cond = eq if cond is None else cond & eq
-        res = groups.join(renamed, cond, "left").select(*gc, *aliases)
-    return res
+    return g.select(*gc, *outs)

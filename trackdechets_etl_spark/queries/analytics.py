@@ -1007,6 +1007,14 @@ def _profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     for col in _PROFILE_COLS:
         c = F.col(col)
         dt = dtypes[col]
+        if dt not in ("bigint", "double", "string"):
+            # A silently-unhandled dtype would NULL all three value
+            # slots, corrupting n_distinct/min/max while n_nulls stays
+            # right — fail loudly instead (r13 advice).
+            raise ValueError(
+                f"_profile_table: unhandled dtype {dt!r} for column"
+                f" {col!r}; add a typed slot before profiling it"
+            )
         slots.append(
             F.struct(
                 F.lit(col).alias("col_name"),

@@ -254,7 +254,13 @@ def _events_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_tot = sum(F.col(f"a_{t}") for t in _MOOD_TYPES)
     full = m.withColumn("N", dec(n_tot)).withColumn("A", dec(a_tot))
     # chi2 terms in LITERAL type order, above-term then below-term per
-    # type — both engines associate identically
+    # type — both engines associate identically. Each term is gated on
+    # the EXACT integer preconditions ea>0 AND eb>0 ⇔ n_g>0 AND A>0
+    # AND A<N (r13 advice): on degenerate data (median == max ⇒ A=0,
+    # or an absent event type ⇒ n_g=0) an unguarded division yields
+    # NULL in Spark but inf/NaN in DuckDB. Guarding on the decimal
+    # counts, not the computed doubles, keeps the predicate identical
+    # in both engines.
     chi = None
     for t in _MOOD_TYPES:
         n_g = F.col(f"n_{t}").cast("double")
@@ -264,9 +270,13 @@ def _events_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         Bd = Nd - Ad
         ea = n_g * Ad / Nd
         eb = n_g * Bd / Nd
-        term = (a_g - ea) * (a_g - ea) / ea + (
-            (n_g - a_g) - eb
-        ) * ((n_g - a_g) - eb) / eb
+        term = F.when(
+            (F.col(f"n_{t}") > 0)
+            & (F.col("A") > 0)
+            & (F.col("A") < F.col("N")),
+            (a_g - ea) * (a_g - ea) / ea
+            + ((n_g - a_g) - eb) * ((n_g - a_g) - eb) / eb,
+        ).otherwise(F.lit(0.0))
         chi = term if chi is None else chi + term
     return full.select(
         F.col("N").cast("long").alias("n_events"),
@@ -299,12 +309,14 @@ def _mood_sql() -> str:
     n_tot = " + ".join(f"n_{t}" for t in _MOOD_TYPES)
     a_tot = " + ".join(f"a_{t}" for t in _MOOD_TYPES)
     terms = " + ".join(
+        f"(CASE WHEN n_{t} > 0 AND A > 0 AND A < N THEN "
         f"(CAST(a_{t} AS DOUBLE) - CAST(n_{t} AS DOUBLE) * CAST(A AS DOUBLE) / CAST(N AS DOUBLE))"
         f" * (CAST(a_{t} AS DOUBLE) - CAST(n_{t} AS DOUBLE) * CAST(A AS DOUBLE) / CAST(N AS DOUBLE))"
         f" / (CAST(n_{t} AS DOUBLE) * CAST(A AS DOUBLE) / CAST(N AS DOUBLE))"
         f" + ((CAST(n_{t} AS DOUBLE) - CAST(a_{t} AS DOUBLE)) - CAST(n_{t} AS DOUBLE) * (CAST(N AS DOUBLE) - CAST(A AS DOUBLE)) / CAST(N AS DOUBLE))"
         f" * ((CAST(n_{t} AS DOUBLE) - CAST(a_{t} AS DOUBLE)) - CAST(n_{t} AS DOUBLE) * (CAST(N AS DOUBLE) - CAST(A AS DOUBLE)) / CAST(N AS DOUBLE))"
         f" / (CAST(n_{t} AS DOUBLE) * (CAST(N AS DOUBLE) - CAST(A AS DOUBLE)) / CAST(N AS DOUBLE))"
+        f" ELSE 0.0 END)"
         for t in _MOOD_TYPES
     )
     n_outs = ",\n       ".join(
