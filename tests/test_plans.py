@@ -397,6 +397,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # average-rank half-units over the distinct-cents value frame —
     # identical bound and contract as events_mann_whitney_u.
     "events_kruskal_wallis",
+    # per-DOW exclusive cumulatives over the same distinct-cents value
+    # frame (Jonckheere-Terpstra) — identical bound and contract as
+    # events_mann_whitney_u / events_kruskal_wallis.
+    "events_jonckheere_dow",
     # day-frame lag over the distinct-day count series — calendar
     # bound, the orders_cusum_changepoint contract.
     "events_runs_test",

@@ -36,104 +36,97 @@ class QuerySpec:
 # differently; fixed this round by casting the final column to int64
 # both sides, see round56.py and tests/test_output_types.py).
 #
-# The ROUND-13 front below = the r12 verdict's ask #1 plus this
-# round's own plan changes, then the stale-green rotation:
-# slots 1-5: the round74-76 late additions with no driver row yet
-#   (bartlett, friedman, BLEU-2 pairs, winnowing fingerprints + match
-#   step) — the only registry entries never driver-checked; green in
-#   the r12 judge's independent full drive and in this round's
-#   drive-mirror runs;
-# slots 6-14: entries whose plan changed THIS round after their last
-#   green row — graph_jaccard_neighbors (distinct/window exchange
-#   fuse), profile_orders (Expand -> unpivot shape, cold-measured),
-#   dedup_incremental_batch (AllPairs prefix filter on the batch x
-#   corpus verify stage), the five exact_percentiles_value_counts
-#   consumers (all-NULL-group preservation left join: agg_quantiles,
-#   agg_argminmax, lineitem_tukey_fences, orders_lorenz_deciles,
-#   events_brown_forsythe), and linkage_edit_distance_join (max_block
-#   knob — default-None path is plan-identical, queued out of
-#   caution); all selfchecked at sf0.01 + full drive-mirror green
-#   this round;
-# slots 15-44: stale-green rotation, oldest last-green first in each
-#   round's CORRECTNESS file order — the remaining r04 greens
-#   (revenue_share_pct ... window_rank_ratios and the rest of the
-#   r04 ledger);
-# slots 45-50: the six PPJoin-plan-changed entries (see the inline
-#   comment in the list).
-# Post-window queue for the ROUND-14 rotation: (1) the round77
-# additions shipped this round (text_rouge_dup_pairs,
-# events_mood_median, events_cochran_q, events_mcnemar — selfchecked
-# at three SFs + partition/strategy-invariant, never driver-checked),
-# then the six rotation slots evicted for the PPJoin plan changes
-# (agg_stats_suite, string_agg_sorted, events_running_distinct,
-# flagship_revenue_by_nation, events_dwell_times,
-# events_funnel_horizon),
-# (2) any entry whose plan changes after its green row next round,
-# (3) the remaining round-5 stale greens in CORRECTNESS_r05 order
-# (diff_merkle_buckets, dq_benford_digits, embedding_standardize,
-# events_ab_lift, events_chisq, events_cusum_changepoint, ...), then
-# round-6 greens oldest-first, etc.
+# The ROUND-14 front below = the r13 verdict's ask #1 (the four
+# round77 additions + the six PPJoin-evicted rotation slots), then
+# this round's own plan changes, the round78 additions, and the
+# stale-green rotation (slot rationale inline in the list).
+# Cumulative through r13: 406/414 oracle-paired entries green-ever;
+# the only never-driver-checked oracle-paired entries are the four
+# round77 additions at slots 1-4 (the 4 *_approx sketch twins are
+# rows-only by design).
+# Post-window queue for the ROUND-15 rotation: (1) any entry whose
+# plan changes after its green row next round, (2) the three r05
+# stale greens displaced by the round78 trio (events_pattern_match,
+# events_rolling_corr, events_gap_interpolate), then the remaining
+# r05/r06 stale greens oldest-first in their CORRECTNESS file order
+# (text_passage_dedup, text_posting_lists, embedding_standardize,
+# sim_maxsim, events_chisq, parts_skyline_2d, orders_prorate_cents,
+# events_trend_slope, layout_compaction_bins, training_negative_pairs,
+# diff_merkle_buckets, events_sessionize_ids, ...), then r07 greens.
 _VERIFY_FIRST = [
-    "events_bartlett_test",
-    "events_friedman_test",
-    "text_bleu_dup_pairs",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "graph_jaccard_neighbors",
-    "profile_orders",
-    "dedup_incremental_batch",
+    # slots 1-4: the round-13 (round77.py) additions — the only
+    # oracle-paired registry entries with no driver row ever; each
+    # selfchecked at three SFs + partition/strategy-invariant (mood's
+    # chi2 zero-guard landed this round, re-gated after the change).
+    "text_rouge_dup_pairs",
+    "events_mood_median",
+    "events_cochran_q",
+    "events_mcnemar",
+    # slots 5-10: the six rotation entries evicted late in r13 for the
+    # PPJoin plan-changed consumers (promised re-queue, r13 verdict
+    # ask #1).
+    "agg_stats_suite",
+    "string_agg_sorted",
+    "events_running_distinct",
+    "flagship_revenue_by_nation",
+    "events_dwell_times",
+    "events_funnel_horizon",
+    # slots 11-18: entries whose plan or code path changed THIS round
+    # after their last green row — the five exact-percentile consumers
+    # (operators/percentiles.py single-scan rewrite: NULL-value rows
+    # carry cnt 0, re-seat join deleted), linkage_edit_distance_join
+    # (max_block now defaults to 512 — identical output on fixtures by
+    # the pinned cap>=max-block property, plan gains the hk window),
+    # reco_holdout_hitrate (symmetric map-side co pairs, co checkpoint
+    # deleted), profile_orders (dtype guard — no fixture plan change,
+    # queued out of caution). All selfchecked at sf0.01 + invariance
+    # probes + full drive-mirror green after the changes.
     "agg_quantiles",
     "agg_argminmax",
     "lineitem_tukey_fences",
     "orders_lorenz_deciles",
     "events_brown_forsythe",
     "linkage_edit_distance_join",
-    "revenue_share_pct",
-    "sample_mixture_weighted",
-    "scalar_dict_decode_join",
-    "split_train_val_test",
-    "text_scrub_pii",
-    "text_vocab_prune",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "window_rank_ratios",
-    "tpch_q20_potential_promotion",
-    "events_retention_cohorts",
-    "events_scd2_validity",
-    "text_chunk_overlap",
-    "text_repetition_stats",
-    "graph_pagerank",
-    "diag_key_skew",
-    "hierarchy_roots",
-    "events_anomaly_zscore",
-    "diff_snapshots",
-    "dq_rule_violations",
-    "sample_weighted_reservoir",
-    # slots 45-50 (swapped in late-round): the six entries whose plan
-    # changed with the r13 PPJoin positional filter in
-    # ngram_jaccard_pairs (llm/dedup.py) — the five direct consumers
-    # plus dedup_token_savings (transitive via _dedup_clusters) —
-    # each selfchecked at three SFs + partition/strategy-invariant
-    # after the change; the six evicted stale-rotation entries
-    # (agg_stats_suite, string_agg_sorted, events_running_distinct,
-    # flagship_revenue_by_nation, events_dwell_times,
-    # events_funnel_horizon) move to the round-14 queue front after
-    # the round77 additions.
-    "dedup_token_savings",
-    "dedup_ngram_jaccard",
-    "pipeline_corpus_clean",
-    "dedup_minhash_recall",
-    "dedup_clusters",
-    "pipeline_training_data",
+    "reco_holdout_hitrate",
+    "profile_orders",
+    # slots 19-26: the eight round-14 additions (round78.py), each
+    # shipped with the full per-entry gate (3-SF selfcheck + partition
+    # + strategy invariance + same-session scaling-sweep rows, all
+    # ratios <= 1.68).
+    "lineitem_grubbs_test",
+    "orders_herfindahl",
+    "text_dice_tversky",
+    "sim_map_eval",
+    "events_jonckheere_dow",
+    "events_page_trend",
+    "orders_atkinson_index",
+    "text_lmir_topk",
+    # slots 27-50: stale-green rotation, oldest last-green first (the
+    # remaining r05 ledger in CORRECTNESS_r05 row order).
+    "events_markov_transitions",
+    "events_windowed_dedup",
+    "orders_ship_latency",
+    "orders_yoy_growth",
+    "join_dpp_partition_pruned",
+    "sim_pq_recall",
+    "sim_ivfpq_topk",
+    "events_ewma_daily",
+    "weighted_median_parts",
+    "join_grid_spatial",
+    "text_bpe_pairs",
+    "sketch_countmin_heavyhitters",
+    "events_rolling_median",
+    "events_twap",
+    "events_winsorized_stats",
+    "dq_benford_digits",
+    "dedup_containment_pairs",
+    "graph_triangles",
+    "events_cusum_changepoint",
+    "sim_knn_classify",
+    "events_entropy_profile",
+    "text_zipf_fit",
+    "events_ab_lift",
+    "orders_cohort_ltv",
 ]
 
 
@@ -218,6 +211,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round75,
         round76,
         round77,
+        round78,
         scale,
         tpch2,
         training,
@@ -307,6 +301,7 @@ def all_queries() -> dict[str, QuerySpec]:
         round75,
         round76,
         round77,
+        round78,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
