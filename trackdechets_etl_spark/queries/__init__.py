@@ -89,6 +89,9 @@ _VERIFY_FIRST = [
     "linkage_edit_distance_join",
     "reco_holdout_hitrate",
     "profile_orders",
+    # text_bleu_dup_pairs: the pairs eager-checkpoint landed after its
+    # r13 green row (round75.py) — re-verify with the new plan
+    "text_bleu_dup_pairs",
     # slots 19-26: the eight round-14 additions (round78.py), each
     # shipped with the full per-entry gate (3-SF selfcheck + partition
     # + strategy invariance + same-session scaling-sweep rows, all
@@ -126,7 +129,6 @@ _VERIFY_FIRST = [
     "events_entropy_profile",
     "text_zipf_fit",
     "events_ab_lift",
-    "orders_cohort_ltv",
 ]
 
 

@@ -59,7 +59,14 @@ def _text_rouge_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from trackdechets_etl_spark.queries.round75 import _gram_counts
 
     d = read_table(spark, sf_dir, "documents")
-    pairs = simhash_pairs(d, "text", "doc_id").select("id_a", "id_b")
+    # eager-checkpointed: four consumers (ids, clip, both pr joins) —
+    # the round75 BLEU measurement (7.97 → 6.44 s at sf0.1) applies
+    # identically to this shared shape
+    pairs = (
+        simhash_pairs(d, "text", "doc_id")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
