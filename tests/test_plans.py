@@ -401,6 +401,10 @@ _SINGLE_PARTITION_WINDOW_OK = {
     # frame (Jonckheere-Terpstra) — identical bound and contract as
     # events_mann_whitney_u / events_kruskal_wallis.
     "events_jonckheere_dow",
+    # AB scores over the same distinct-cents value frame
+    # (Ansari-Bradley) — identical bound and contract as
+    # events_mann_whitney_u.
+    "events_ansari_bradley",
     # day-frame lag over the distinct-day count series — calendar
     # bound, the orders_cusum_changepoint contract.
     "events_runs_test",

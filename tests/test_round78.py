@@ -290,3 +290,45 @@ def test_lmir_ranks_and_length_penalty(spark):
         scores = [r.score for r in sorted(rs, key=lambda x: x.rank)]
         assert scores == sorted(scores, reverse=True)
         assert all(math.isfinite(r.score) for r in rs)
+
+
+# ------------------------------------------- Ansari-Bradley
+
+
+def test_ansari_bradley_fixture_sane(spark):
+    row = _q("events_ansari_bradley")(spark, SF_DIR).collect()[0]
+    n = row.n0 + row.n1
+    # AB is bounded by n0·(N+2)/2 above (all max scores) and n0/2·1
+    # below; z finite
+    assert 0 < row.ab_stat < row.n0 * (n + 2) / 2
+    assert row.z_score == row.z_score
+
+
+def test_ansari_bradley_known_small(spark):
+    """Hand-checked 4-value example, no ties: pooled sorted values get
+    AB scores 1,2,2,1; arm 0 holds the two extremes → AB = 2, exact."""
+    import tempfile as _tf
+
+    # grp = user_id % 2; arm0 users 2,4 → values 1.0 (rank1) and 4.0
+    # (rank4) → scores 1+1 = 2; arm1 users 1,3 → 2.0, 3.0 → 2+2 = 4
+    rows = [
+        (2, "click", 1.0),
+        (1, "click", 2.0),
+        (3, "click", 3.0),
+        (4, "click", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+    with _tf.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/events.parquet"
+        )
+        row = _q("events_ansari_bradley")(spark, td).collect()[0]
+    assert (row.n0, row.n1) == (2, 2)
+    assert row.ab_stat == 2.0
+    # even-N null mean = n0(N+2)/4 = 3, var = n0 n1 (N+2)(N-2)/(48(N-1))
+    import math
+
+    var = 2 * 2 * 6 * 2 / (48 * 3)
+    assert abs(row.z_score - (2.0 - 3.0) / math.sqrt(var)) < 1e-6

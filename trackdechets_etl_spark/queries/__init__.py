@@ -92,7 +92,7 @@ _VERIFY_FIRST = [
     # text_bleu_dup_pairs: the pairs eager-checkpoint landed after its
     # r13 green row (round75.py) — re-verify with the new plan
     "text_bleu_dup_pairs",
-    # slots 19-26: the eight round-14 additions (round78.py), each
+    # slots 19-27: the nine round-14 additions (round78.py), each
     # shipped with the full per-entry gate (3-SF selfcheck + partition
     # + strategy invariance + same-session scaling-sweep rows, all
     # ratios <= 1.68).
@@ -104,6 +104,7 @@ _VERIFY_FIRST = [
     "events_page_trend",
     "orders_atkinson_index",
     "text_lmir_topk",
+    "events_ansari_bradley",
     # slots 27-50: stale-green rotation, oldest last-green first (the
     # remaining r05 ledger in CORRECTNESS_r05 row order).
     "events_markov_transitions",
@@ -128,7 +129,6 @@ _VERIFY_FIRST = [
     "sim_knn_classify",
     "events_entropy_profile",
     "text_zipf_fit",
-    "events_ab_lift",
 ]
 
 

@@ -966,3 +966,132 @@ QUERIES.update(
         "text_lmir_topk": QuerySpec(_text_lmir_topk, _lmir_oracle()),
     }
 )
+
+
+# ------------------------------------------- Ansari-Bradley scale test
+
+
+def _events_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley rank test of SCALE between the two user-parity
+    arms (the events_mann_whitney_u arms) — completes the
+    variance-homogeneity family: Bartlett is the parametric member,
+    Brown-Forsythe the robust-F, this the fully rank-based one. The
+    AB score of pooled rank r is min(r, N+1−r); with midranks in
+    half-units (2·r̄ = 2·cum_below + n_v + 1, the MWU contract) the
+    doubled score 2·a = min(2·r̄, 2·(N+1) − 2·r̄) stays an exact
+    integer, so AB = Σ_{arm 0} a is integer-exact in half-units until
+    the final z division. z uses the classic untied null moments for
+    even/odd N (Ansari & Bradley 1960), selected by an exact parity
+    test on N in both engines."""
+    ev = read_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    vals = ev.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    nv = F.col("c0") + F.col("c1")
+    wv = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = vals.select(
+        "cents",
+        "c0",
+        "c1",
+        nv.alias("nv"),
+        F.coalesce(F.sum(nv).over(wv), F.lit(0)).alias("cb"),
+        F.sum(nv).over(wall).alias("ntot"),
+    )
+    two_rank = F.lit(2) * F.col("cb") + F.col("nv") + 1
+    two_score = F.least(
+        two_rank, F.lit(2) * (F.col("ntot") + 1) - two_rank
+    )
+    s = ranked.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(_dec(F.col("c0")) * _dec(two_score)).alias("ab2"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    nD = n0d + n1d
+    ab = F.col("ab2").cast("double") / 2.0
+    even = (F.col("n0") + F.col("n1")) % 2 == F.lit(0)
+    mean_ab = F.when(
+        even, n0d * (nD + 2.0) / 4.0
+    ).otherwise(n0d * (nD + 1.0) * (nD + 1.0) / (4.0 * nD))
+    var_ab = F.when(
+        even,
+        n0d * n1d * (nD + 2.0) * (nD - 2.0) / (48.0 * (nD - 1.0)),
+    ).otherwise(
+        n0d
+        * n1d
+        * (nD + 1.0)
+        * (3.0 + nD * nD)
+        / (48.0 * nD * nD)
+    )
+    return s.select(
+        "n0",
+        "n1",
+        F.round(ab, 1).alias("ab_stat"),
+        F.round((ab - mean_ab) / F.sqrt(var_ab), 6).alias("z_score"),
+    )
+
+
+ANSARI_SQL = """
+WITH ev AS (
+    SELECT user_id % 2 AS grp,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events),
+vals AS (
+    SELECT cents,
+           sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+           sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+    FROM ev GROUP BY cents),
+ranked AS (
+    SELECT cents, c0, c1, c0 + c1 AS nv,
+           COALESCE(sum(c0 + c1) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb,
+           sum(c0 + c1) OVER () AS ntot
+    FROM vals),
+s AS (
+    SELECT CAST(sum(c0) AS BIGINT) AS n0,
+           CAST(sum(c1) AS BIGINT) AS n1,
+           sum(CAST(c0 AS HUGEINT)
+               * least(2 * cb + nv + 1,
+                       2 * (ntot + 1) - (2 * cb + nv + 1))) AS ab2
+    FROM ranked),
+d AS (
+    SELECT n0, n1,
+           CAST(ab2 AS DOUBLE) / 2.0 AS ab,
+           CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d,
+           CAST(n0 + n1 AS DOUBLE) AS nD,
+           (n0 + n1) % 2 = 0 AS even
+    FROM s)
+SELECT n0, n1,
+       round(ab, 1) AS ab_stat,
+       round((ab - CASE WHEN even
+                   THEN n0d * (nD + 2.0) / 4.0
+                   ELSE n0d * (nD + 1.0) * (nD + 1.0) / (4.0 * nD)
+                   END)
+             / sqrt(CASE WHEN even
+                    THEN n0d * n1d * (nD + 2.0) * (nD - 2.0)
+                         / (48.0 * (nD - 1.0))
+                    ELSE n0d * n1d * (nD + 1.0) * (3.0 + nD * nD)
+                         / (48.0 * nD * nD)
+                    END), 6) AS z_score
+FROM d
+"""
+
+
+QUERIES.update(
+    {
+        "events_ansari_bradley": QuerySpec(
+            _events_ansari_bradley, ANSARI_SQL
+        ),
+    }
+)
