@@ -332,3 +332,76 @@ def test_ansari_bradley_known_small(spark):
 
     var = 2 * 2 * 6 * 2 / (48 * 3)
     assert abs(row.z_score - (2.0 - 3.0) / math.sqrt(var)) < 1e-6
+
+
+# --------------------------- degenerate-data guards (r14 self-audit)
+
+
+def test_grubbs_constant_data_yields_null(spark):
+    """Constant values: sd = 0 exactly — both engines must answer NULL
+    (unguarded: Spark NULL vs DuckDB inf divergence)."""
+    import tempfile as _tf
+
+    df = spark.createDataFrame(
+        [(i, 42.0) for i in range(5)],
+        "l_orderkey long, l_extendedprice double",
+    )
+    with _tf.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/lineitem.parquet"
+        )
+        row = _q("lineitem_grubbs_test")(spark, td).collect()[0]
+    assert row.mean_cents == 4200.0
+    assert row.sd_cents is None and row.g_max is None and row.g_min is None
+
+
+def test_atkinson_zero_value_yields_null(spark):
+    import tempfile as _tf
+
+    df = spark.createDataFrame(
+        [(1, "1-URGENT", 0.0), (2, "1-URGENT", 10.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    with _tf.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/orders.parquet"
+        )
+        row = _q("orders_atkinson_index")(spark, td).collect()[0]
+    assert row.atkinson_05 is None and row.atkinson_1 is None
+
+
+def test_jt_single_group_yields_null_z(spark):
+    """All events on one weekday: Var[JT] = 0 exactly — z must be
+    NULL, jt_stat 0."""
+    import datetime
+    import tempfile as _tf
+
+    data = [
+        (1, "click", datetime.datetime(2024, 1, 1, 10, 0, 0), float(v))
+        for v in range(5)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_type string, ts timestamp, value double"
+    )
+    with _tf.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/events.parquet"
+        )
+        row = _q("events_jonckheere_dow")(spark, td).collect()[0]
+    assert row.jt_stat == 0.0 and row.z_score is None
+
+
+def test_ansari_one_arm_yields_null(spark):
+    import tempfile as _tf
+
+    rows = [(2, "click", float(v)) for v in range(4)]  # all arm 0
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+    with _tf.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/events.parquet"
+        )
+        row = _q("events_ansari_bradley")(spark, td).collect()[0]
+    assert row.n1 == 0
+    assert row.ab_stat is None and row.z_score is None

@@ -99,18 +99,22 @@ def _lineitem_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = nd * (nd - 1)
     mean = F.col("s1").cast("double") / F.col("n").cast("double")
     sd = F.sqrt(num.cast("double") / den.cast("double"))
+    # degenerate-data guard on the EXACT integers (the mood-median
+    # contract): n<=1 or constant data makes sd 0/NULL in Spark but
+    # inf/NaN in DuckDB — both engines must answer NULL there
+    ok = (F.col("n") > 1) & (num > 0)
     return s.select(
         "n",
         F.col("mx").alias("max_cents"),
         F.col("mn").alias("min_cents"),
         F.round(mean, 6).alias("mean_cents"),
-        F.round(sd, 6).alias("sd_cents"),
-        F.round((F.col("mx").cast("double") - mean) / sd, 6).alias(
-            "g_max"
-        ),
-        F.round((mean - F.col("mn").cast("double")) / sd, 6).alias(
-            "g_min"
-        ),
+        F.round(F.when(ok, sd), 6).alias("sd_cents"),
+        F.round(
+            F.when(ok, (F.col("mx").cast("double") - mean) / sd), 6
+        ).alias("g_max"),
+        F.round(
+            F.when(ok, (mean - F.col("mn").cast("double")) / sd), 6
+        ).alias("g_min"),
     )
 
 
@@ -126,15 +130,18 @@ s AS (
     FROM c),
 d AS (
     SELECT n, mx, mn,
+           n > 1 AND CAST(n AS HUGEINT) * s2 - s1 * s1 > 0 AS ok,
            CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
            sqrt(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
                 / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) AS sd
     FROM s)
 SELECT n, mx AS max_cents, mn AS min_cents,
        round(mean, 6) AS mean_cents,
-       round(sd, 6) AS sd_cents,
-       round((CAST(mx AS DOUBLE) - mean) / sd, 6) AS g_max,
-       round((mean - CAST(mn AS DOUBLE)) / sd, 6) AS g_min
+       round(CASE WHEN ok THEN sd END, 6) AS sd_cents,
+       round(CASE WHEN ok
+             THEN (CAST(mx AS DOUBLE) - mean) / sd END, 6) AS g_max,
+       round(CASE WHEN ok
+             THEN (mean - CAST(mn AS DOUBLE)) / sd END, 6) AS g_min
 FROM d
 """
 
@@ -165,14 +172,18 @@ def _orders_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1").cast("double") * F.col("s1").cast("double")
     )
     inv_n = F.lit(1.0) / F.col("n_customers").cast("double")
+    # s1 = 0 (all-zero revenue) would be 0/0: NULL in Spark, NaN in
+    # DuckDB — guard on the exact decimal so both answer NULL
+    pos = F.col("s1") > 0
     return g.select(
         "c_mktsegment",
         "n_customers",
-        F.round(hhi, 6).alias("hhi"),
+        F.round(F.when(pos, hhi), 6).alias("hhi"),
         F.round(
             F.when(
-                F.col("n_customers") > 1, (hhi - inv_n) / (1.0 - inv_n)
-            ).otherwise(F.lit(1.0)),
+                pos & (F.col("n_customers") > 1),
+                (hhi - inv_n) / (1.0 - inv_n),
+            ).otherwise(F.when(pos, F.lit(1.0))),
             6,
         ).alias("hhi_norm"),
     ).orderBy("c_mktsegment")
@@ -191,14 +202,15 @@ g AS (
     FROM rev JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment)
 SELECT c_mktsegment, n_customers,
-       round(CAST(s2 AS DOUBLE)
-             / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6) AS hhi,
-       round(CASE WHEN n_customers > 1
+       round(CASE WHEN s1 > 0 THEN CAST(s2 AS DOUBLE)
+             / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) END, 6)
+           AS hhi,
+       round(CASE WHEN s1 > 0 AND n_customers > 1
              THEN (CAST(s2 AS DOUBLE)
                    / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                    - 1.0 / CAST(n_customers AS DOUBLE))
                   / (1.0 - 1.0 / CAST(n_customers AS DOUBLE))
-             ELSE 1.0 END, 6) AS hhi_norm
+             WHEN s1 > 0 THEN 1.0 END, 6) AS hhi_norm
 FROM g
 ORDER BY c_mktsegment
 """
@@ -547,6 +559,12 @@ def _events_jonckheere_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("CU").cast("double")
     ) / 72.0
     z = (F.col("jt2").cast("double") / 2.0 - mean_jt) / F.sqrt(var_jt)
+    # all data in ONE group makes Var = 0 exactly (CU = N²(2N+3)):
+    # guard on the exact decimals so both engines answer NULL, not
+    # Spark-NULL-vs-DuckDB-NaN
+    var_pos = F.col("CU") < F.col("N") * F.col("N") * (
+        2 * F.col("N") + 3
+    )
     return full.select(
         F.col("N").cast("long").alias("n_total"),
         *[
@@ -554,7 +572,7 @@ def _events_jonckheere_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, _JT_K + 1)
         ],
         F.round(F.col("jt2").cast("double") / 2.0, 1).alias("jt_stat"),
-        F.round(z, 6).alias("z_score"),
+        F.round(F.when(var_pos, z), 6).alias("z_score"),
     )
 
 
@@ -612,12 +630,13 @@ d AS (
 SELECT CAST(N AS BIGINT) AS n_total,
        {n_outs},
        round(CAST(jt2 AS DOUBLE) / 2.0, 1) AS jt_stat,
-       round((CAST(jt2 AS DOUBLE) / 2.0
+       round(CASE WHEN CU < N * N * (2 * N + 3)
+             THEN (CAST(jt2 AS DOUBLE) / 2.0
               - (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)
                  - CAST(SQ AS DOUBLE)) / 4.0)
              / sqrt((CAST(N AS DOUBLE) * CAST(N AS DOUBLE)
                      * (2.0 * CAST(N AS DOUBLE) + 3.0)
-                     - CAST(CU AS DOUBLE)) / 72.0), 6) AS z_score
+                     - CAST(CU AS DOUBLE)) / 72.0) END, 6) AS z_score
 FROM d
 """
 
@@ -774,6 +793,7 @@ def _orders_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(_dec(F.col("c"))).alias("s1"),
+        F.min("c").alias("mn"),
         F.sum(F.sqrt(F.col("c").cast("double"))).alias("ssqrt"),
         F.sum(F.log(F.col("c").cast("double"))).alias("sln"),
     )
@@ -782,12 +802,15 @@ def _orders_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = F.col("ssqrt") / nd
     atk05 = 1.0 - half * half / mean
     atk1 = 1.0 - F.exp(F.col("sln") / nd) / mean
+    # a zero value makes ln(0) NULL in Spark but -inf in DuckDB (and
+    # Atkinson(1) degenerate anyway) — guard on the exact integer min
+    pos = F.col("mn") > 0
     return g.select(
         "o_orderpriority",
         "n",
         F.round(mean, 6).alias("mean_cents"),
-        F.round(atk05, 6).alias("atkinson_05"),
-        F.round(atk1, 6).alias("atkinson_1"),
+        F.round(F.when(pos, atk05), 6).alias("atkinson_05"),
+        F.round(F.when(pos, atk1), 6).alias("atkinson_1"),
     ).orderBy("o_orderpriority")
 
 
@@ -800,17 +823,20 @@ g AS (
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
            sum(CAST(c AS HUGEINT)) AS s1,
+           min(c) AS mn,
            sum(sqrt(CAST(c AS DOUBLE))) AS ssqrt,
-           sum(ln(CAST(c AS DOUBLE))) AS sln
+           sum(ln(CASE WHEN c > 0 THEN CAST(c AS DOUBLE) END)) AS sln
     FROM o GROUP BY o_orderpriority)
 SELECT o_orderpriority, n,
        round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_cents,
-       round(1.0 - (ssqrt / CAST(n AS DOUBLE))
+       round(CASE WHEN mn > 0
+             THEN 1.0 - (ssqrt / CAST(n AS DOUBLE))
                    * (ssqrt / CAST(n AS DOUBLE))
-                   / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) END, 6)
            AS atkinson_05,
-       round(1.0 - exp(sln / CAST(n AS DOUBLE))
-                   / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       round(CASE WHEN mn > 0
+             THEN 1.0 - exp(sln / CAST(n AS DOUBLE))
+                   / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) END, 6)
            AS atkinson_1
 FROM g
 ORDER BY o_orderpriority
@@ -1033,11 +1059,18 @@ def _events_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (3.0 + nD * nD)
         / (48.0 * nD * nD)
     )
+    # one empty arm or N <= 2 zeroes the null variance exactly —
+    # guard on the exact integers (both engines answer NULL)
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0) & (
+        F.col("n0") + F.col("n1") > 2
+    )
     return s.select(
         "n0",
         "n1",
-        F.round(ab, 1).alias("ab_stat"),
-        F.round((ab - mean_ab) / F.sqrt(var_ab), 6).alias("z_score"),
+        F.round(F.when(ok, ab), 1).alias("ab_stat"),
+        F.round(
+            F.when(ok, (ab - mean_ab) / F.sqrt(var_ab)), 6
+        ).alias("z_score"),
     )
 
 
@@ -1073,8 +1106,10 @@ d AS (
            (n0 + n1) % 2 = 0 AS even
     FROM s)
 SELECT n0, n1,
-       round(ab, 1) AS ab_stat,
-       round((ab - CASE WHEN even
+       round(CASE WHEN n0 > 0 AND n1 > 0 AND n0 + n1 > 2
+             THEN ab END, 1) AS ab_stat,
+       round(CASE WHEN n0 > 0 AND n1 > 0 AND n0 + n1 > 2
+             THEN (ab - CASE WHEN even
                    THEN n0d * (nD + 2.0) / 4.0
                    ELSE n0d * (nD + 1.0) * (nD + 1.0) / (4.0 * nD)
                    END)
@@ -1083,7 +1118,7 @@ SELECT n0, n1,
                          / (48.0 * (nD - 1.0))
                     ELSE n0d * n1d * (nD + 1.0) * (3.0 + nD * nD)
                          / (48.0 * nD * nD)
-                    END), 6) AS z_score
+                    END) END, 6) AS z_score
 FROM d
 """
 
