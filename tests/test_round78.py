@@ -405,3 +405,87 @@ def test_ansari_one_arm_yields_null(spark):
         row = _q("events_ansari_bradley")(spark, td).collect()[0]
     assert row.n1 == 0
     assert row.ab_stat is None and row.z_score is None
+
+
+# ------------------------------------------------- Cohen's kappa
+
+
+def test_cohen_kappa_fixture_consistency(spark):
+    """Cells partition the user set; kappa equals the textbook
+    (p_o − p_e)/(1 − p_e) form to float precision."""
+    row = _q("events_cohen_kappa")(spark, SF_DIR).collect()[0]
+    assert row.n11 + row.n10 + row.n01 + row.n00 == row.n_users
+    assert 0.0 <= row.p_obs <= 1.0 and 0.0 < row.p_exp < 1.0
+    assert row.kappa <= 1.0 + 1e-9
+    assert abs(
+        row.kappa - (row.p_obs - row.p_exp) / (1.0 - row.p_exp)
+    ) < 1e-5
+
+
+def test_cohen_kappa_known_small(spark):
+    """Hand-checked 6-user 2×2: n11=2, n10=1, n01=1, n00=2 →
+    p_o = 2/3, p_e = 1/2, kappa = 1/3 exactly."""
+    import tempfile as _tf
+
+    rows = [
+        (1, "click", 95.0), (1, "purchase", 95.0),   # both
+        (2, "click", 95.0), (2, "purchase", 95.0),   # both
+        (3, "click", 95.0), (3, "purchase", 10.0),   # click only
+        (4, "click", 10.0), (4, "purchase", 95.0),   # purchase only
+        (5, "view", 95.0),                            # neither
+        (6, "view", 95.0),                            # neither
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+    with _tf.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/events.parquet"
+        )
+        row = _q("events_cohen_kappa")(spark, td).collect()[0]
+    assert (row.n11, row.n10, row.n01, row.n00, row.n_users) == (
+        2, 1, 1, 2, 6
+    )
+    assert abs(row.p_obs - 2.0 / 3.0) < 1e-6
+    assert row.p_exp == 0.5
+    assert abs(row.kappa - 1.0 / 3.0) < 1e-6
+
+
+def test_cohen_kappa_perfect_agreement_is_one(spark):
+    import tempfile as _tf
+
+    rows = [
+        (1, "click", 95.0), (1, "purchase", 95.0),
+        (2, "click", 95.0), (2, "purchase", 95.0),
+        (3, "view", 95.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+    with _tf.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/events.parquet"
+        )
+        row = _q("events_cohen_kappa")(spark, td).collect()[0]
+    assert (row.n10, row.n01) == (0, 0)
+    assert row.kappa == 1.0
+
+
+def test_cohen_kappa_constant_raters_yields_null(spark):
+    """Both raters constant (all-neither): p_e = 1 exactly, the
+    denominator n² − pe_num is 0 — both engines must answer NULL
+    (the round-14 degenerate-data guard contract)."""
+    import tempfile as _tf
+
+    rows = [(u, "view", 95.0) for u in range(1, 5)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    )
+    with _tf.TemporaryDirectory() as td:
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/events.parquet"
+        )
+        row = _q("events_cohen_kappa")(spark, td).collect()[0]
+    assert row.n00 == row.n_users == 4
+    assert row.p_obs == 1.0 and row.p_exp == 1.0
+    assert row.kappa is None

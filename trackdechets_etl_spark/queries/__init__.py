@@ -47,7 +47,8 @@ class QuerySpec:
 # Post-window queue for the ROUND-15 rotation: (1) any entry whose
 # plan changes after its green row next round, (2) the three r05
 # stale greens displaced by the round78 trio (events_pattern_match,
-# events_rolling_corr, events_gap_interpolate), then the remaining
+# events_rolling_corr, events_gap_interpolate) plus text_zipf_fit
+# (displaced by events_cohen_kappa), then the remaining
 # r05/r06 stale greens oldest-first in their CORRECTNESS file order
 # (text_passage_dedup, text_posting_lists, embedding_standardize,
 # sim_maxsim, events_chisq, parts_skyline_2d, orders_prorate_cents,
@@ -105,7 +106,11 @@ _VERIFY_FIRST = [
     "orders_atkinson_index",
     "text_lmir_topk",
     "events_ansari_bradley",
-    # slots 27-50: stale-green rotation, oldest last-green first (the
+    # slot 28: tenth (final) round-14 addition — Cohen's kappa, same
+    # full per-entry gate; displaces text_zipf_fit to the r15 queue
+    # front (with the three earlier displacements noted above).
+    "events_cohen_kappa",
+    # slots 29-50: stale-green rotation, oldest last-green first (the
     # remaining r05 ledger in CORRECTNESS_r05 row order).
     "events_markov_transitions",
     "events_windowed_dedup",
@@ -128,7 +133,6 @@ _VERIFY_FIRST = [
     "events_cusum_changepoint",
     "sim_knn_classify",
     "events_entropy_profile",
-    "text_zipf_fit",
 ]
 
 

@@ -57,6 +57,12 @@ float algebra mirrored verbatim in the DuckDB twin).
   (μ = 2000, Zhai-Lafferty rank-equivalent decomposition) over the
   text_bm25_topk query set — only matched posting lists are scored
   (the inverted-index contract), rank-constant terms dropped.
+- ``events_ansari_bradley``: rank-based SCALE test between the
+  user-parity arms (see the function docstring).
+- ``events_cohen_kappa``: chance-corrected agreement between two
+  binary per-user indicators — the paired-binary complement of
+  events_mcnemar (same 2×2, different question); kappa from ONE
+  division of two exact integers (see the function docstring).
 
 Reference provenance: none of these exist in the reference's 539-line
 pandas surface (dags/icpe-siretisation.py, dags/publish-open-data.py);
@@ -1128,5 +1134,139 @@ QUERIES.update(
         "events_ansari_bradley": QuerySpec(
             _events_ansari_bradley, ANSARI_SQL
         ),
+    }
+)
+
+
+# --------------------------------------------- Cohen's kappa
+
+
+_KAPPA_A = "click"
+_KAPPA_B = "purchase"
+_KAPPA_CUT = 90  # high-value presence — the events_cochran_q contract
+
+
+def _events_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two binary
+    per-user indicators: 'has a high-value click' vs 'has a high-value
+    purchase' (value > 90; bare presence is degenerate on this log —
+    every user has every type, the events_cochran_q finding).
+    Completes the paired-binary family next to events_mcnemar: McNemar
+    tests marginal homogeneity of this same 2×2, kappa measures
+    agreement. The four cells are exact longs; kappa comes from the
+    exact integer identity
+        kappa = (n·(n11 + n00) − pe_num) / (n² − pe_num),
+        pe_num = (n11+n10)·(n11+n01) + (n01+n00)·(n10+n00)
+    in decimal(38,0)/HUGEINT — ONE double division of two
+    exactly-representable integers, no float p_o − p_e subtraction to
+    diverge on. Both-raters-constant data makes the denominator
+    exactly 0 (p_e = 1) → NULL in both engines, guarded on the exact
+    integers. p_obs / p_exp are reported via identical single
+    divisions in both engines.
+
+    100 TB shape: one map-side-combined groupBy(user_id) to the flag
+    frame, one global aggregate to a single row — no joins, no
+    windows; cost is Θ(|events|) scan + Θ(|users|) shuffle rows."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    hv = lambda t: F.max(  # noqa: E731
+        F.when(
+            (F.col("event_type") == t) & (F.col("value") > _KAPPA_CUT), 1
+        ).otherwise(0)
+    )
+    flags = ev.groupBy("user_id").agg(
+        hv(_KAPPA_A).alias("ra"), hv(_KAPPA_B).alias("rb")
+    )
+    cell = lambda a, b: F.sum(  # noqa: E731
+        F.when((F.col("ra") == a) & (F.col("rb") == b), 1).otherwise(0)
+    ).cast("long")
+    cells = flags.agg(
+        cell(1, 1).alias("n11"),
+        cell(1, 0).alias("n10"),
+        cell(0, 1).alias("n01"),
+        cell(0, 0).alias("n00"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    pe_num = (_dec(F.col("n11")) + _dec(F.col("n10"))) * (
+        _dec(F.col("n11")) + _dec(F.col("n01"))
+    ) + (_dec(F.col("n01")) + _dec(F.col("n00"))) * (
+        _dec(F.col("n10")) + _dec(F.col("n00"))
+    )
+    nn = _dec(F.col("n_users")) * _dec(F.col("n_users"))
+    d = cells.select(
+        "n_users",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        pe_num.alias("pe_num"),
+        nn.alias("nn"),
+    )
+    num = _dec(F.col("n_users")) * (
+        _dec(F.col("n11")) + _dec(F.col("n00"))
+    ) - F.col("pe_num")
+    den = F.col("nn") - F.col("pe_num")
+    return d.select(
+        "n_users",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            (F.col("n11") + F.col("n00")).cast("double")
+            / F.col("n_users").cast("double"),
+            6,
+        ).alias("p_obs"),
+        F.round(
+            F.col("pe_num").cast("double") / F.col("nn").cast("double"), 6
+        ).alias("p_exp"),
+        F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")), 6
+        ).alias("kappa"),
+    )
+
+
+KAPPA_SQL = f"""
+WITH flags AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = '{_KAPPA_A}'
+                     AND value > {_KAPPA_CUT} THEN 1 ELSE 0 END) AS ra,
+           max(CASE WHEN event_type = '{_KAPPA_B}'
+                     AND value > {_KAPPA_CUT} THEN 1 ELSE 0 END) AS rb
+    FROM events GROUP BY user_id),
+cells AS (
+    SELECT CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11,
+           CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+           CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01,
+           CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM flags),
+d AS (
+    SELECT n_users, n11, n10, n01, n00,
+           (CAST(n11 AS HUGEINT) + n10) * (CAST(n11 AS HUGEINT) + n01)
+           + (CAST(n01 AS HUGEINT) + n00) * (CAST(n10 AS HUGEINT) + n00)
+               AS pe_num,
+           CAST(n_users AS HUGEINT) * n_users AS nn
+    FROM cells)
+SELECT n_users, n11, n10, n01, n00,
+       round(CAST(n11 + n00 AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+           AS p_obs,
+       round(CAST(pe_num AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS p_exp,
+       round(CASE WHEN nn - pe_num > 0
+             THEN CAST(CAST(n_users AS HUGEINT) * (n11 + n00) - pe_num
+                       AS DOUBLE)
+                  / CAST(nn - pe_num AS DOUBLE) END, 6) AS kappa
+FROM d
+"""
+
+
+QUERIES.update(
+    {
+        "events_cohen_kappa": QuerySpec(_events_cohen_kappa, KAPPA_SQL),
     }
 )
