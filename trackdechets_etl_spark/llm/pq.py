@@ -234,22 +234,29 @@ def ivfpq_topk(
     cand_codes = codes.join(labels, "vid").join(
         F.broadcast(assigned), "__list"
     )
-    cnorm = (
-        codes.join(F.broadcast(cn2), ["m", "code"])
-        .groupBy(F.col("vid").alias("c_id"))
-        .agg(F.sqrt(F.sum("n2")).alias("cnorm"))
-    )
     qnorm = qe.groupBy(F.col("vid").alias("q_id")).agg(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qnorm")
     )
+    # Candidate norms ride the ADC aggregation itself: cn2 (M*K rows)
+    # broadcast-joins the same frame as the query lookup table, and one
+    # groupBy yields sum(pdot) AND sqrt(sum(n2)). This computes norms
+    # only for ROUTED-LIST candidates — a separate full-`codes`
+    # aggregation would scan every corpus vector's codes when the probe
+    # touches |list|/|corpus| of them (the 100 TB shape); it also drops
+    # the norm SMJ join. Canon-identical to the separate-aggregate form
+    # at sf0.01/0.1 (A/B, round 14); local timing a wash (4.52 vs
+    # 4.67 s best-of-4 at sf0.1).
     adc = (
-        cand_codes.join(F.broadcast(partial), ["q_id", "m", "code"])
+        cand_codes.join(F.broadcast(cn2), ["m", "code"])
+        .join(F.broadcast(partial), ["q_id", "m", "code"])
         .groupBy(F.col("vid").alias("c_id"), "q_id")
-        .agg(F.sum("pdot").alias("adot"))
+        .agg(
+            F.sum("pdot").alias("adot"),
+            F.sqrt(F.sum("n2")).alias("cnorm"),
+        )
     )
     scored = (
-        adc.join(cnorm, "c_id")
-        .join(F.broadcast(qnorm), "q_id")
+        adc.join(F.broadcast(qnorm), "q_id")
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
             "q_id",
