@@ -181,6 +181,8 @@ def dedup_clusters(
     singleton clusters of themselves), the cluster size, and an
     ``is_canonical`` flag marking the kept representative. Downstream,
     ``filter(is_canonical)`` IS the dedup."""
+    from pyspark.sql import Window
+
     comp = connected_components(pairs, pair_a, pair_b).select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
@@ -188,15 +190,19 @@ def dedup_clusters(
         F.col(id_col),
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
     )
-    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return (
-        labeled.join(sizes, "cluster_id")
-        .select(
-            id_col,
-            "cluster_id",
-            "cluster_size",
-            (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
-        )
+    # cluster_size via a cluster_id-partitioned window count instead of
+    # groupBy + join-back: one shuffle on the same key, no join, and
+    # `labeled` (docs scan + comp join) is consumed ONCE instead of
+    # twice in the final job. Partitioned by cluster_id — bounded
+    # frames (largest near-dup cluster), never single-partition.
+    # Canon-identical A/B (r14): 2.47 → 2.32 s at sf0.1, 1.52 → 1.26 s
+    # at sf0.001, every sample lower.
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
 
 
