@@ -48,7 +48,10 @@ class QuerySpec:
 # plan changes after its green row next round, (2) the three r05
 # stale greens displaced by the round78 trio (events_pattern_match,
 # events_rolling_corr, events_gap_interpolate) plus text_zipf_fit
-# (displaced by events_cohen_kappa), then the remaining
+# (displaced by events_cohen_kappa) and the four tail stale-greens
+# displaced by the late-r14 plan-changed re-entries (graph_triangles,
+# events_cusum_changepoint, sim_knn_classify,
+# events_entropy_profile), then the remaining
 # r05/r06 stale greens oldest-first in their CORRECTNESS file order
 # (text_passage_dedup, text_posting_lists, embedding_standardize,
 # sim_maxsim, events_chisq, parts_skyline_2d, orders_prorate_cents,
@@ -110,6 +113,18 @@ _VERIFY_FIRST = [
     # full per-entry gate; displaces text_zipf_fit to the r15 queue
     # front (with the three earlier displacements noted above).
     "events_cohen_kappa",
+    # slots 29-32: late-r14 plan-changed entries (norm-projection and
+    # window-count rewrites, each bit-identity-pinned + full per-entry
+    # gate — see docs/SCALE.md round-14): dedup_clusters +
+    # dedup_token_savings (window count replaces groupBy+join-back),
+    # embedding_hubness_score + dedup_embedding_cosine (per-side norm
+    # projection). Displace the four oldest tail stale-greens
+    # (graph_triangles, events_cusum_changepoint, sim_knn_classify,
+    # events_entropy_profile) to the r15 queue front.
+    "dedup_clusters",
+    "dedup_token_savings",
+    "embedding_hubness_score",
+    "dedup_embedding_cosine",
     # slots 29-50: stale-green rotation, oldest last-green first (the
     # remaining r05 ledger in CORRECTNESS_r05 row order).
     "events_markov_transitions",
@@ -129,10 +144,6 @@ _VERIFY_FIRST = [
     "events_winsorized_stats",
     "dq_benford_digits",
     "dedup_containment_pairs",
-    "graph_triangles",
-    "events_cusum_changepoint",
-    "sim_knn_classify",
-    "events_entropy_profile",
 ]
 
 
