@@ -385,7 +385,9 @@ def containment_pairs(
     shingle order, C(A,B) ≥ t needs ``ceil(t·|A|)`` shared shingles, so
     A must share one of its first ``|A| - ceil(t·|A|) + 1`` shingles
     with B — only the CONTAINED side is prefix-pruned; the host side
-    stays fully indexed. A size bound (``|B| ≥ t·|A|``) prunes further.
+    stays fully indexed. A size bound (``|B| ≥ t·|A|``) and the PPJoin
+    positional bound (``1 + min(|A|−i, |B|−j) ≥ ceil(t·|A|)`` at the
+    pair's first common shingle) prune candidates further.
     EXACT output: the DuckDB oracle is the naive inverted-index join,
     and fast == naive is pinned in tests/test_llm.py."""
     sh = shingles(df, text_col, id_col, n)
@@ -398,29 +400,47 @@ def containment_pairs(
     b_full = keyed.select(F.col(id_col).alias("id_b"), "k")
     if prefix_filter:
         w = Window.partitionBy(id_col).orderBy("k")
-        pref = (
-            keyed.withColumn("__rn", F.row_number().over(w))
-            .join(sizes, id_col)
-            .filter(
-                F.col("__rn")
-                <= F.col("n_sh")
-                - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
-                + 1
-            )
+        pos = keyed.withColumn("__rn", F.row_number().over(w)).join(sizes, id_col)
+        a_cand = pos.filter(
+            F.col("__rn")
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+            + 1
+        ).select(
+            F.col(id_col).alias("id_a"),
+            "k",
+            F.col("n_sh").alias("n_a"),
+            F.col("__rn").alias("rn_a"),
         )
-        a_cand = pref.select(
-            F.col(id_col).alias("id_a"), "k", F.col("n_sh").alias("n_a")
+        # The host side stays fully indexed but carries its sorted
+        # position too: the r13 PPJoin positional bound adapts to
+        # containment. The pair's first common key is the MINIMUM
+        # common key value, hence first in BOTH docs' sorted orders,
+        # so overlap ≤ 1 + min(n_a − i, n_b − j) holds at that row;
+        # C ≥ t needs overlap ≥ ceil(t·n_a), so a true pair always
+        # keeps its first-match row and the distinct still sees it —
+        # exact output preserved.
+        b_cand = pos.select(
+            F.col(id_col).alias("id_b"),
+            "k",
+            F.col("n_sh").alias("n_b"),
+            F.col("__rn").alias("rn_b"),
         )
-        b_cand = b_full.join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
+        need = F.ceil(F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
         candidates = (
             a_cand.join(b_cand, "k")
             .filter(
                 (F.col("id_a") != F.col("id_b"))
                 # size necessary condition: C ≤ |B|/|A|
                 & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
+                & (
+                    F.lit(1)
+                    + F.least(
+                        F.col("n_a") - F.col("rn_a"),
+                        F.col("n_b") - F.col("rn_b"),
+                    )
+                    >= need
+                )
             )
             .select("id_a", "id_b")
             .distinct()
