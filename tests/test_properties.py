@@ -272,3 +272,37 @@ def test_cc_union_find_equals_distributed_loop(spark, edges):
         ).collect()
     }
     assert fast == slow
+
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(
+    st.lists(_doc, min_size=1, max_size=12),
+    st.sampled_from([0.5, 0.7, 0.9, 1.0]),
+)
+@SETTINGS
+def test_containment_prefix_positional_equals_naive(spark, texts, t):
+    """The AllPairs prefix + size + positional filters must be lossless
+    for containment on ARBITRARY corpora: tiny word alphabet forces
+    heavy shingle sharing, docs shorter than one shingle, duplicate
+    docs, threshold 1.0 (exact-subset) and loose thresholds all
+    exercise the ceil/epsilon boundaries of the pruning bounds."""
+    from trackdechets_etl_spark.llm.dedup import containment_pairs
+
+    d = spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = sorted(
+        map(tuple, containment_pairs(d, "text", "doc_id", t, n=2).collect())
+    )
+    naive = sorted(
+        map(
+            tuple,
+            containment_pairs(
+                d, "text", "doc_id", t, n=2, prefix_filter=False
+            ).collect(),
+        )
+    )
+    assert fast == naive
