@@ -306,3 +306,32 @@ def test_containment_prefix_positional_equals_naive(spark, texts, t):
         )
     )
     assert fast == naive
+
+
+@given(
+    st.lists(_doc, min_size=1, max_size=12),
+    st.sampled_from([0.5, 0.7, 0.8, 1.0]),
+)
+@SETTINGS
+def test_jaccard_prefix_positional_equals_naive(spark, texts, t):
+    """Same losslessness pin for the symmetric PPJoin path: prefix,
+    size-ratio, and positional filters on ngram_jaccard_pairs must
+    reproduce the naive inverted-index join exactly on arbitrary
+    corpora and thresholds."""
+    from trackdechets_etl_spark.llm.dedup import ngram_jaccard_pairs
+
+    d = spark.createDataFrame(
+        [(i, txt) for i, txt in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = sorted(
+        map(tuple, ngram_jaccard_pairs(d, "text", "doc_id", t, n=2).collect())
+    )
+    naive = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                d, "text", "doc_id", t, n=2, prefix_filter=False
+            ).collect(),
+        )
+    )
+    assert fast == naive
