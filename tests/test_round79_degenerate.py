@@ -170,3 +170,77 @@ def test_jsd_disjoint_halves_is_ln2(spark, tmp_path):
     row = dict(zip(cols, out[0]))
     assert row["vocab_shared"] == 0
     assert row["jsd_nats"] == pytest.approx(math.log(2.0), abs=1e-6)
+
+
+def test_watson_u2_empty_arm_null_both_engines(spark, tmp_path):
+    rows = [(2 * u, float(u) + 1.0) for u in range(5)]  # even users only
+    spark.createDataFrame(rows, "user_id long, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out, cols = _compare(spark, "events_watson_u2", tmp_path, ["events"])
+    row = dict(zip(cols, out[0]))
+    assert row["n1"] == 0 and row["watson_u2"] is None
+
+
+def test_brunner_munzel_all_tied_null_both_engines(spark, tmp_path):
+    rows = [(u, 3.00) for u in range(8)]
+    spark.createDataFrame(rows, "user_id long, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out, cols = _compare(
+        spark, "events_brunner_munzel", tmp_path, ["events"]
+    )
+    row = dict(zip(cols, out[0]))
+    assert row["p_hat"] is None and row["w_bm"] is None
+
+
+def test_brunner_munzel_tiny_arm_null_both_engines(spark, tmp_path):
+    rows = [(0, 1.0), (2, 2.0), (4, 3.0), (1, 9.0)]  # n1 = 1
+    spark.createDataFrame(rows, "user_id long, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out, cols = _compare(
+        spark, "events_brunner_munzel", tmp_path, ["events"]
+    )
+    row = dict(zip(cols, out[0]))
+    assert row["n1"] == 1 and row["w_bm"] is None
+
+
+def test_perplexity_empty_train_half_null_both_engines(spark, tmp_path):
+    rows = [(2 * i + 1, "aa bb cc") for i in range(4)]  # odd only
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out, cols = _compare(
+        spark, "text_perplexity_split", tmp_path, ["documents"]
+    )
+    row = dict(zip(cols, out[0]))
+    assert row["train_tokens"] == 0
+    assert row["ce_nats"] is None and row["perplexity"] is None
+
+
+def test_perplexity_empty_corpus_zero_rows_both_engines(spark, tmp_path):
+    rows = [(i, "") for i in range(3)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out, _ = _compare(
+        spark, "text_perplexity_split", tmp_path, ["documents"]
+    )
+    assert out == []
+
+
+def test_theil_decomposition_zero_value_null_both_engines(
+    spark, tmp_path
+):
+    rows = [("1-URGENT", 0.00), ("1-URGENT", 5.00), ("2-HIGH", 3.00)]
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out, cols = _compare(
+        spark, "orders_theil_decomposition", tmp_path, ["orders"]
+    )
+    row = dict(zip(cols, out[0]))
+    assert row["theil_total"] is None and row["theil_between"] is None

@@ -801,6 +801,511 @@ FROM agg
 """
 
 
+# --------------------------------- cross-half unigram-LM perplexity
+
+
+_PPL_MU = 2000.0
+
+
+def _text_perplexity_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style corpus-quality signal: a Dirichlet-smoothed unigram
+    LM trained on the EVEN-doc_id half scores the ODD half; the output
+    is the eval cross-entropy (nats/token), perplexity, and OOV share.
+    P(w|train) = (c_tr(w) + μ/V) / (T_tr + μ) with a uniform prior
+    over the JOINT vocabulary V (so every eval token, including train
+    OOV, has positive probability — no −inf terms by construction).
+    Counts and V are exact longs; CE = −Σ c_ev(w)·ln P(w) / T_ev is
+    one double log-sum (CvM magnitude argument: each term is
+    ≤ c·ln(T_tr + μ)). Either half empty → NULL via exact guards,
+    with the divisions kept inside the lazily-evaluated branch."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ctr"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cev"),
+    )
+    tot = vocab.agg(
+        F.sum("ctr").cast("long").alias("ttr"),
+        F.sum("cev").cast("long").alias("tev"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    t = vocab.crossJoin(F.broadcast(tot))
+    ok_row = (F.col("ttr") > 0) & (F.col("tev") > 0)
+    p = (
+        F.col("ctr").cast("double")
+        + F.lit(_PPL_MU) / F.col("v").cast("double")
+    ) / (F.col("ttr").cast("double") + F.lit(_PPL_MU))
+    s = t.groupBy("ttr", "tev", "v").agg(
+        F.sum(
+            F.when(
+                ok_row & (F.col("cev") > 0),
+                -F.col("cev").cast("double") * F.log(p),
+            ).otherwise(F.lit(0.0))
+        ).alias("nll"),
+        F.sum(
+            F.when((F.col("cev") > 0) & (F.col("ctr") == 0), F.col("cev"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+    ok = (F.col("ttr") > 0) & (F.col("tev") > 0)
+    ce = F.col("nll") / F.col("tev").cast("double")
+    return s.select(
+        F.col("ttr").alias("train_tokens"),
+        F.col("tev").alias("eval_tokens"),
+        F.col("v").alias("vocab_joint"),
+        "oov_tokens",
+        F.round(
+            F.when(
+                ok,
+                F.col("oov_tokens").cast("double")
+                / F.col("tev").cast("double"),
+            ),
+            6,
+        ).alias("oov_share"),
+        F.round(F.when(ok, ce), 6).alias("ce_nats"),
+        F.round(F.when(ok, F.exp(ce)), 6).alias("perplexity"),
+    )
+
+
+PERPLEXITY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id % 2 AS half, lower(t.tok) AS tok
+    FROM documents,
+         unnest(string_split_regex(text, '\\s+')) AS t(tok)
+    WHERE t.tok <> ''),
+vocab AS (
+    SELECT tok,
+           CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ctr,
+           CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cev
+    FROM toks GROUP BY tok),
+tot AS (
+    SELECT CAST(sum(ctr) AS BIGINT) AS ttr,
+           CAST(sum(cev) AS BIGINT) AS tev,
+           CAST(count(*) AS BIGINT) AS v
+    FROM vocab),
+s AS (
+    SELECT ttr, tev, v,
+           sum(CASE WHEN ttr > 0 AND tev > 0 AND cev > 0 THEN
+               -CAST(cev AS DOUBLE)
+               * ln((CAST(ctr AS DOUBLE)
+                     + {_PPL_MU} / CAST(v AS DOUBLE))
+                    / (CAST(ttr AS DOUBLE) + {_PPL_MU}))
+               ELSE 0.0 END) AS nll,
+           CAST(sum(CASE WHEN cev > 0 AND ctr = 0 THEN cev
+                    ELSE 0 END) AS BIGINT) AS oov_tokens
+    FROM vocab, tot GROUP BY ttr, tev, v)
+SELECT ttr AS train_tokens, tev AS eval_tokens, v AS vocab_joint,
+       oov_tokens,
+       round(CASE WHEN ttr > 0 AND tev > 0 THEN
+             CAST(oov_tokens AS DOUBLE) / CAST(tev AS DOUBLE) END, 6)
+           AS oov_share,
+       round(CASE WHEN ttr > 0 AND tev > 0 THEN
+             nll / CAST(tev AS DOUBLE) END, 6) AS ce_nats,
+       round(CASE WHEN ttr > 0 AND tev > 0 THEN
+             exp(nll / CAST(tev AS DOUBLE)) END, 6) AS perplexity
+FROM s
+"""
+
+
+# ---------------------------------------- Watson U² two-sample test
+
+
+def _events_watson_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watson's U² between the user-parity arms — the
+    rotation-invariant member that completes the EDF family (KS sup,
+    CvM L², AD tail-weighted L²): U² = CvM − (nm/N²)·N·ḡ² centers the
+    CDF-gap before integrating, i.e.
+    U² = (nm/N²)·[Σ l·g² − (Σ l·g)²/N]. Mirrors the
+    events_cramer_von_mises frame verbatim (same distinct-cents cum
+    window, same decimal-exact cross difference widened to double
+    before weighting — the KS widening contract); the two weighted
+    sums are CvM-precedent float sums. Either arm empty → NULL on
+    the exact counts."""
+    ev = read_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    vals = ev.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wv = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.select(
+        "c0",
+        "c1",
+        F.sum("c0").over(wv).alias("f0"),
+        F.sum("c1").over(wv).alias("f1"),
+    )
+    tot = ev.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    t = cum.crossJoin(F.broadcast(tot))
+    ok_row = (F.col("n0") > 0) & (F.col("n1") > 0)
+    g = (
+        (_dec(F.col("f0")) * _dec(F.col("n1"))
+         - _dec(F.col("f1")) * _dec(F.col("n0"))).cast("double")
+        / (F.col("n0").cast("double") * F.col("n1").cast("double"))
+    )
+    l = (F.col("c0") + F.col("c1")).cast("double")
+    s = t.groupBy("n0", "n1").agg(
+        F.sum(F.when(ok_row, l * g * g).otherwise(F.lit(0.0))).alias(
+            "sg2"
+        ),
+        F.sum(F.when(ok_row, l * g).otherwise(F.lit(0.0))).alias("sg1"),
+    )
+    Nd = (F.col("n0") + F.col("n1")).cast("double")
+    scale = (
+        F.col("n0").cast("double") * F.col("n1").cast("double") / (Nd * Nd)
+    )
+    u2 = scale * (F.col("sg2") - F.col("sg1") * F.col("sg1") / Nd)
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    return s.select(
+        "n0",
+        "n1",
+        F.round(F.when(ok, u2), 6).alias("watson_u2"),
+    )
+
+
+WATSON_U2_SQL = """
+WITH ev AS (
+    SELECT user_id % 2 AS grp,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events),
+vals AS (
+    SELECT cents,
+           sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+           sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+    FROM ev GROUP BY cents),
+cum AS (
+    SELECT c0, c1,
+           sum(c0) OVER (ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS f0,
+           sum(c1) OVER (ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS f1
+    FROM vals),
+tot AS (
+    SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+           CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+    FROM ev),
+s AS (
+    SELECT n0, n1,
+           sum(CASE WHEN n0 > 0 AND n1 > 0 THEN
+               CAST(c0 + c1 AS DOUBLE)
+               * (CAST(CAST(f0 AS HUGEINT) * n1
+                       - CAST(f1 AS HUGEINT) * n0 AS DOUBLE)
+                  / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+               * (CAST(CAST(f0 AS HUGEINT) * n1
+                       - CAST(f1 AS HUGEINT) * n0 AS DOUBLE)
+                  / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+               ELSE 0.0 END) AS sg2,
+           sum(CASE WHEN n0 > 0 AND n1 > 0 THEN
+               CAST(c0 + c1 AS DOUBLE)
+               * (CAST(CAST(f0 AS HUGEINT) * n1
+                       - CAST(f1 AS HUGEINT) * n0 AS DOUBLE)
+                  / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+               ELSE 0.0 END) AS sg1
+    FROM cum, tot GROUP BY n0, n1)
+SELECT n0, n1,
+       round(CASE WHEN n0 > 0 AND n1 > 0 THEN
+             CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+             / (CAST(n0 + n1 AS DOUBLE) * CAST(n0 + n1 AS DOUBLE))
+             * (sg2 - sg1 * sg1 / CAST(n0 + n1 AS DOUBLE)) END, 6)
+           AS watson_u2
+FROM s
+"""
+
+
+# -------------------------------------------- Brunner-Munzel test
+
+
+def _events_brunner_munzel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brunner–Munzel between the user-parity arms — the
+    heteroscedasticity-robust successor of Mann–Whitney (BM does not
+    assume equal variances under H₀). Everything reduces to EXACT
+    integer moments on the distinct-cents frame (the Grubbs
+    no-drift argument): with doubled pooled midranks
+    2m_j = 2·cumpool_{j−1} + l_j + 1 and doubled within-arm midranks
+    2w_ij = 2·cum_i,{j−1} + c_ij + 1,
+      S_i = Σ c_ij·2m_j,  N_i = S_i − n_i(n_i+1)  (= Σ c·A_i, the
+      placement sum),  Q_i = Σ c_ij·A_ij² with A_ij = 2m_j − 2w_ij,
+    and the rank-variance identity Σ c(A−N_i/n_i)² =
+    (n_i·Q_i − N_i²)/n_i gives
+      p̂ = N_1/(2·n0·n1)   (prob. an arm-1 value exceeds arm-0,
+                            ties half-weighted),
+      W  = M / (N·sqrt((n0·Q0 − N0²)/(n0−1) + (n1·Q1 − N1²)/(n1−1)))
+    with M = n0·S1 − n1·S0 — scipy's brunnermunzel W, all-integer
+    until two final divisions and the sqrt. Degenerate guard on the
+    exact common-denominator variance numerator
+    (n0·Q0 − N0²)(n1−1) + (n1·Q1 − N1²)(n0−1) > 0 and n_i > 1
+    (all-tied data ⇒ exactly 0 ⇒ NULL in both engines)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    vals = ev.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wv = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.select(
+        "c0",
+        "c1",
+        F.sum("c0").over(wv).alias("f0"),
+        F.sum("c1").over(wv).alias("f1"),
+    )
+    l = F.col("c0") + F.col("c1")
+    fp = F.col("f0") + F.col("f1")
+    two_m = _dec(2 * fp - l + 1)  # 2·pooled midrank
+    two_w0 = _dec(2 * F.col("f0") - F.col("c0") + 1)
+    two_w1 = _dec(2 * F.col("f1") - F.col("c1") + 1)
+    a0 = two_m - two_w0
+    a1 = two_m - two_w1
+    s = cum.agg(
+        F.sum(_dec(F.col("c0"))).alias("n0d"),
+        F.sum(_dec(F.col("c1"))).alias("n1d"),
+        F.sum(_dec(F.col("c0")) * two_m).alias("s0"),
+        F.sum(_dec(F.col("c1")) * two_m).alias("s1"),
+        F.sum(_dec(F.col("c0")) * a0 * a0).alias("q0"),
+        F.sum(_dec(F.col("c1")) * a1 * a1).alias("q1"),
+    )
+    n0 = F.col("n0d")
+    n1 = F.col("n1d")
+    N0 = F.col("s0") - n0 * (n0 + 1)
+    N1 = F.col("s1") - n1 * (n1 + 1)
+    vn0 = n0 * F.col("q0") - N0 * N0  # n0·Q0 − N0²  (decimal-exact)
+    vn1 = n1 * F.col("q1") - N1 * N1
+    ok = (
+        (n0 > 1)
+        & (n1 > 1)
+        & (vn0 * (n1 - 1) + vn1 * (n0 - 1) > 0)
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    m_num = n0 * F.col("s1") - n1 * F.col("s0")
+    w_bm = d(m_num) / (
+        d(n0 + n1)
+        * F.sqrt(
+            d(vn0) / d(n0 - 1) + d(vn1) / d(n1 - 1)
+        )
+    )
+    p_hat = d(N1) / (2.0 * d(n0) * d(n1))
+    return s.select(
+        n0.cast("long").alias("n0"),
+        n1.cast("long").alias("n1"),
+        F.round(F.when(ok, p_hat), 6).alias("p_hat"),
+        F.round(F.when(ok, w_bm), 6).alias("w_bm"),
+    )
+
+
+BRUNNER_MUNZEL_SQL = """
+WITH ev AS (
+    SELECT user_id % 2 AS grp,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events),
+vals AS (
+    SELECT cents,
+           sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+           sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+    FROM ev GROUP BY cents),
+cum AS (
+    SELECT c0, c1,
+           sum(c0) OVER (ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS f0,
+           sum(c1) OVER (ORDER BY cents
+                         ROWS UNBOUNDED PRECEDING) AS f1
+    FROM vals),
+s AS (
+    SELECT CAST(sum(c0) AS HUGEINT) AS n0,
+           CAST(sum(c1) AS HUGEINT) AS n1,
+           sum(CAST(c0 AS HUGEINT)
+               * (2 * (f0 + f1) - (c0 + c1) + 1)) AS s0,
+           sum(CAST(c1 AS HUGEINT)
+               * (2 * (f0 + f1) - (c0 + c1) + 1)) AS s1,
+           sum(CAST(c0 AS HUGEINT)
+               * ((2 * (f0 + f1) - (c0 + c1) + 1)
+                  - (2 * f0 - c0 + 1))
+               * ((2 * (f0 + f1) - (c0 + c1) + 1)
+                  - (2 * f0 - c0 + 1))) AS q0,
+           sum(CAST(c1 AS HUGEINT)
+               * ((2 * (f0 + f1) - (c0 + c1) + 1)
+                  - (2 * f1 - c1 + 1))
+               * ((2 * (f0 + f1) - (c0 + c1) + 1)
+                  - (2 * f1 - c1 + 1))) AS q1
+    FROM cum),
+calc AS (
+    SELECT n0, n1,
+           s1 - n1 * (n1 + 1) AS bign1,
+           n0 * q0 - (s0 - n0 * (n0 + 1)) * (s0 - n0 * (n0 + 1))
+               AS vn0,
+           n1 * q1 - (s1 - n1 * (n1 + 1)) * (s1 - n1 * (n1 + 1))
+               AS vn1,
+           n0 * s1 - n1 * s0 AS m_num
+    FROM s)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       round(CASE WHEN n0 > 1 AND n1 > 1
+                  AND vn0 * (n1 - 1) + vn1 * (n0 - 1) > 0 THEN
+             CAST(bign1 AS DOUBLE)
+             / (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) END, 6)
+           AS p_hat,
+       round(CASE WHEN n0 > 1 AND n1 > 1
+                  AND vn0 * (n1 - 1) + vn1 * (n0 - 1) > 0 THEN
+             CAST(m_num AS DOUBLE)
+             / (CAST(n0 + n1 AS DOUBLE)
+                * sqrt(CAST(vn0 AS DOUBLE) / CAST(n0 - 1 AS DOUBLE)
+                       + CAST(vn1 AS DOUBLE)
+                         / CAST(n1 - 1 AS DOUBLE))) END, 6) AS w_bm
+FROM calc
+"""
+
+
+# --------------------------------- Theil between/within decomposition
+
+
+def _orders_theil_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The additive decomposition that makes Theil T the inequality
+    index of choice for group audits: T_total = T_between + T_within,
+    T_between = Σ_g s_g·ln(s_g/(n_g/n)), T_within = Σ_g s_g·T_g with
+    s_g the group's revenue share. One row; groups = order priority
+    (the orders_theil_index frame). Group moments are the same
+    decimal-exact Σc / double Σc·ln c sums; the identity holds
+    exactly in the algebra and to float roundoff in both engines'
+    IDENTICAL trees (the decomposition is evaluated term-by-term in
+    the same literal order — 5 alphabetical groups). Any zero value
+    → NULL via the exact global min (ln guard)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    xd = F.col("c").cast("double")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(_dec(F.col("c"))).alias("sg"),
+        F.min("c").alias("mng"),
+        F.sum(xd * F.log(xd)).alias("sxlxg"),
+    )
+    # ordered reduction: alphabetical group order pins the float-sum
+    # association identically in both engines (5 terms)
+    tot = g.agg(
+        F.sum(_dec(F.col("ng").cast("long"))).alias("n"),
+        F.sum("sg").alias("s"),
+        F.min("mng").alias("mn"),
+        F.sum("sxlxg").alias("sxlx"),
+    )
+    t = g.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ngd = F.col("ng").cast("double")
+    sgd = F.col("sg").cast("double")
+    share = sgd / sd
+    t_g = F.col("sxlxg") / sgd - F.log(sgd / ngd)
+    # the mn > 0 branch guard keeps the share/s divisions out of the
+    # evaluated path on all-zero-revenue data (ANSI divide-by-zero;
+    # the output is NULL-guarded on the same exact integer below)
+    per = t.select(
+        "o_orderpriority",
+        "mn",
+        "n",
+        "s",
+        "sxlx",
+        F.when(F.col("mn") > 0, share * F.log(share / (ngd / nd)))
+        .otherwise(F.lit(0.0))
+        .alias("tb_term"),
+        F.when(F.col("mn") > 0, share * t_g)
+        .otherwise(F.lit(0.0))
+        .alias("tw_term"),
+    )
+    agg = per.groupBy("mn", "n", "s", "sxlx").agg(
+        F.sum("tb_term").alias("t_between"),
+        F.sum("tw_term").alias("t_within"),
+    )
+    t_total = (
+        F.col("sxlx") / F.col("s").cast("double")
+        - F.log(F.col("s").cast("double") / F.col("n").cast("double"))
+    )
+    ok = F.col("mn") > 0
+    return agg.select(
+        F.round(F.when(ok, t_total), 6).alias("theil_total"),
+        F.round(F.when(ok, F.col("t_between")), 6).alias("theil_between"),
+        F.round(F.when(ok, F.col("t_within")), 6).alias("theil_within"),
+        F.round(
+            F.when(ok, F.col("t_between") + F.col("t_within")), 6
+        ).alias("theil_recomposed"),
+    )
+
+
+THEIL_DECOMP_SQL = """
+WITH o AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+    FROM orders),
+g AS (
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS ng,
+           sum(CAST(c AS HUGEINT)) AS sg,
+           min(c) AS mng,
+           sum(CAST(c AS DOUBLE) * ln(CASE WHEN c > 0
+               THEN CAST(c AS DOUBLE) END)) AS sxlxg
+    FROM o GROUP BY o_orderpriority),
+tot AS (
+    SELECT sum(CAST(ng AS HUGEINT)) AS n, sum(sg) AS s,
+           min(mng) AS mn, sum(sxlxg) AS sxlx
+    FROM g),
+per AS (
+    SELECT mn, n, s, sxlx,
+           CASE WHEN mn > 0 THEN
+           (CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+           * ln((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+                / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE)))
+           ELSE 0.0 END AS tb_term,
+           CASE WHEN mn > 0 THEN
+           (CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+           * (sxlxg / CAST(sg AS DOUBLE)
+              - ln(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)))
+           ELSE 0.0 END AS tw_term
+    FROM g, tot),
+agg AS (
+    SELECT mn, n, s, sxlx,
+           sum(tb_term) AS t_between, sum(tw_term) AS t_within
+    FROM per GROUP BY mn, n, s, sxlx)
+SELECT round(CASE WHEN mn > 0 THEN
+             sxlx / CAST(s AS DOUBLE)
+             - ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) END, 6)
+           AS theil_total,
+       round(CASE WHEN mn > 0 THEN t_between END, 6) AS theil_between,
+       round(CASE WHEN mn > 0 THEN t_within END, 6) AS theil_within,
+       round(CASE WHEN mn > 0 THEN t_between + t_within END, 6)
+           AS theil_recomposed
+FROM agg
+"""
+
+
 STAGED_QUERIES: dict[str, QuerySpec] = {
     "orders_theil_index": QuerySpec(_orders_theil_index, THEIL_SQL),
     "events_kendall_w": QuerySpec(_events_kendall_w, KENDALL_W_SQL),
@@ -810,4 +1315,14 @@ STAGED_QUERIES: dict[str, QuerySpec] = {
     "events_sign_test": QuerySpec(_events_sign_test, SIGN_TEST_SQL),
     "text_js_divergence": QuerySpec(_text_js_divergence, JSD_SQL),
     "text_heaps_law": QuerySpec(_text_heaps_law, HEAPS_SQL),
+    "text_perplexity_split": QuerySpec(
+        _text_perplexity_split, PERPLEXITY_SQL
+    ),
+    "events_watson_u2": QuerySpec(_events_watson_u2, WATSON_U2_SQL),
+    "events_brunner_munzel": QuerySpec(
+        _events_brunner_munzel, BRUNNER_MUNZEL_SQL
+    ),
+    "orders_theil_decomposition": QuerySpec(
+        _orders_theil_decomposition, THEIL_DECOMP_SQL
+    ),
 }
