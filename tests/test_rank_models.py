@@ -1,0 +1,250 @@
+"""Independent-model validation for the REGISTRY's rank-test core
+(events_mann_whitney_u, events_kruskal_wallis, events_ansari_bradley):
+the oracle gate proves Spark == DuckDB but cannot catch the same wrong
+formula implemented twice — these pure-Python references compute
+pooled midranks and tie corrections the textbook way on seeded
+tie-heavy fixtures (both N parities for the Ansari null moments)."""
+
+from __future__ import annotations
+
+import bisect
+import math
+import random
+
+import pytest
+
+
+def _write_events_uv(spark, tmp_path, pairs):
+    spark.createDataFrame(pairs, "user_id long, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+
+def _midrank(v, arr):
+    lo = bisect.bisect_left(arr, v)
+    hi = bisect.bisect_right(arr, v)
+    return (lo + 1 + hi) / 2
+
+
+def _ties_T(arr):
+    from collections import Counter
+
+    return sum(c**3 - c for c in Counter(arr).values())
+
+
+def _tied_fixture(seed, n, vals=7):
+    rng = random.Random(seed)
+    return [(u, rng.randrange(vals) * 0.50 + 2.0) for u in range(n)]
+
+
+@pytest.mark.parametrize("seed,n", [(21, 60), (22, 61), (23, 45)])
+def test_mann_whitney_matches_midrank_model(spark, tmp_path, seed, n):
+    from trackdechets_etl_spark.queries import all_queries
+
+    pairs = _tied_fixture(seed, n)
+    _write_events_uv(spark, tmp_path, pairs)
+    row = (
+        all_queries()["events_mann_whitney_u"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    x = [round(v * 100) for u, v in pairs if u % 2 == 0]
+    y = [round(v * 100) for u, v in pairs if u % 2 == 1]
+    n0, n1 = len(x), len(y)
+    N = n0 + n1
+    pooled = sorted(x + y)
+    r0 = sum(_midrank(v, pooled) for v in x)
+    u0 = r0 - n0 * (n0 + 1) / 2
+    var = (
+        n0
+        * n1
+        / 12.0
+        * ((N + 1) - _ties_T(pooled) / (N * (N - 1)))
+    )
+    z = (u0 - n0 * n1 / 2) / math.sqrt(var)
+    assert row["n0"] == n0 and row["n1"] == n1
+    assert row["u_stat"] == pytest.approx(u0, abs=1e-9)
+    assert row["rank_biserial"] == pytest.approx(
+        2 * u0 / (n0 * n1) - 1, abs=2e-6
+    )
+    assert row["z_score"] == pytest.approx(z, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_kruskal_wallis_matches_midrank_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+    from trackdechets_etl_spark.queries.round57 import _KW_TYPES
+
+    rng = random.Random(seed)
+    rows = []
+    for u in range(70):
+        t = _KW_TYPES[rng.randrange(len(_KW_TYPES))]
+        rows.append((u, t, rng.randrange(6) * 1.25 + 1.0))
+    # guarantee every group is non-empty (the registry domain always
+    # has all five types; an empty group would be a different entry)
+    for i, t in enumerate(_KW_TYPES):
+        rows.append((100 + i, t, 2.50))
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    row = (
+        all_queries()["events_kruskal_wallis"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    groups = {t: [] for t in _KW_TYPES}
+    for _, t, v in rows:
+        groups[t].append(round(v * 100))
+    pooled = sorted(c for vs in groups.values() for c in vs)
+    N = len(pooled)
+    h = (
+        12.0
+        / (N * (N + 1))
+        * sum(
+            sum(_midrank(v, pooled) for v in vs) ** 2 / len(vs)
+            for vs in groups.values()
+        )
+        - 3 * (N + 1)
+    )
+    corr = 1 - _ties_T(pooled) / (N**3 - N)
+    assert row["n_events"] == N
+    assert row["h_stat"] == pytest.approx(h, abs=2e-6)
+    assert row["h_tie_adj"] == pytest.approx(h / corr, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed,n", [(41, 50), (42, 51)])
+def test_ansari_bradley_matches_midrank_model(spark, tmp_path, seed, n):
+    from trackdechets_etl_spark.queries import all_queries
+
+    pairs = _tied_fixture(seed, n)
+    _write_events_uv(spark, tmp_path, pairs)
+    row = (
+        all_queries()["events_ansari_bradley"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    x = [round(v * 100) for u, v in pairs if u % 2 == 0]
+    y = [round(v * 100) for u, v in pairs if u % 2 == 1]
+    n0, n1 = len(x), len(y)
+    N = n0 + n1
+    pooled = sorted(x + y)
+    # the entry's documented score: a(v) = min(r̄(v), N+1−r̄(v)) on
+    # pooled MIDRANKS, summed over arm 0
+    ab = sum(
+        min(_midrank(v, pooled), N + 1 - _midrank(v, pooled)) for v in x
+    )
+    if N % 2 == 0:
+        mean = n0 * (N + 2) / 4.0
+        var = n0 * n1 * (N + 2) * (N - 2) / (48.0 * (N - 1))
+    else:
+        mean = n0 * (N + 1) ** 2 / (4.0 * N)
+        var = n0 * n1 * (N + 1) * (3 + N * N) / (48.0 * N * N)
+    z = (ab - mean) / math.sqrt(var)
+    assert row["n0"] == n0 and row["n1"] == n1
+    assert row["ab_stat"] == pytest.approx(ab, abs=1e-9)
+    assert row["z_score"] == pytest.approx(z, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [51, 52])
+def test_jonckheere_matches_pair_count_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+
+    rng = random.Random(seed)
+    # 2024-01-07 is a Sunday (Spark dayofweek = 1); one full week
+    rows = []
+    for i in range(80):
+        day = 7 + rng.randrange(7)
+        rows.append(
+            (
+                f"2024-01-{day:02d} 10:00:00",
+                "click",
+                rng.randrange(6) * 0.75 + 1.0,
+            )
+        )
+    spark.createDataFrame(
+        rows, "ts string, event_type string, value double"
+    ).selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    row = (
+        all_queries()["events_jonckheere_dow"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    import datetime
+
+    groups = {i: [] for i in range(1, 8)}
+    for ts, _, v in rows:
+        d = datetime.date.fromisoformat(ts[:10])
+        g = d.isoweekday() % 7 + 1  # Spark coding: 1=Sun .. 7=Sat
+        groups[g].append(round(v * 100))
+    jt = 0.0
+    for i in range(1, 8):
+        for j in range(i + 1, 8):
+            for xi in groups[i]:
+                for xj in groups[j]:
+                    if xi < xj:
+                        jt += 1
+                    elif xi == xj:
+                        jt += 0.5
+    ns = [len(groups[i]) for i in range(1, 8)]
+    N = sum(ns)
+    mean = (N * N - sum(n * n for n in ns)) / 4.0
+    var = (
+        N * N * (2 * N + 3) - sum(n * n * (2 * n + 3) for n in ns)
+    ) / 72.0
+    z = (jt - mean) / math.sqrt(var)
+    assert row["n_total"] == N
+    assert row["jt_stat"] == pytest.approx(jt, abs=1e-9)
+    assert row["z_score"] == pytest.approx(z, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [61, 62])
+def test_mood_median_matches_contingency_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+    from trackdechets_etl_spark.queries.round77 import _MOOD_TYPES
+
+    rng = random.Random(seed)
+    rows = []
+    for u in range(90):
+        t = _MOOD_TYPES[rng.randrange(len(_MOOD_TYPES))]
+        rows.append((u, t, rng.randrange(8) * 0.80 + 1.0))
+    for i, t in enumerate(_MOOD_TYPES):  # every group non-empty
+        rows.append((200 + i, t, 3.20))
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    row = (
+        all_queries()["events_mood_median"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    groups = {t: [] for t in _MOOD_TYPES}
+    for _, t, v in rows:
+        groups[t].append(round(v * 100))
+    pooled = sorted(c for vs in groups.values() for c in vs)
+    N = len(pooled)
+    med = pooled[(N + 1) // 2 - 1]  # lower median
+    A = sum(1 for c in pooled if c > med)
+    chi = 0.0
+    for t in _MOOD_TYPES:
+        n_g = len(groups[t])
+        a_g = sum(1 for c in groups[t] if c > med)
+        if n_g > 0 and 0 < A < N:
+            ea = n_g * A / N
+            eb = n_g * (N - A) / N
+            chi += (a_g - ea) ** 2 / ea + ((n_g - a_g) - eb) ** 2 / eb
+    assert row["median_cents"] == med
+    assert row["n_events"] == N
+    assert row["chi2"] == pytest.approx(chi, abs=2e-6)
