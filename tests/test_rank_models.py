@@ -248,3 +248,99 @@ def test_mood_median_matches_contingency_model(spark, tmp_path, seed):
     assert row["median_cents"] == med
     assert row["n_events"] == N
     assert row["chi2"] == pytest.approx(chi, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_wilcoxon_signed_rank_matches_midrank_model(
+    spark, tmp_path, seed
+):
+    from trackdechets_etl_spark.queries import all_queries
+
+    rng = random.Random(seed)
+    rows = []
+    for ok in range(40):
+        for ln in range(1, rng.randrange(2, 6)):
+            rows.append((ok, ln, rng.randrange(5) * 2.00 + 1.0))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_extendedprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    row = (
+        all_queries()["lineitem_wilcoxon_signed_rank"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    from collections import defaultdict
+
+    dsum = defaultdict(int)
+    for ok, ln, p in rows:
+        c = round(p * 100)
+        dsum[ok] += c if ln % 2 == 1 else -c
+    ds = [d for d in dsum.values() if d != 0]
+    ads = sorted(abs(d) for d in ds)
+    n = len(ds)
+    w_plus = sum(_midrank(abs(d), ads) for d in ds if d > 0)
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - _ties_T(ads) / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / math.sqrt(var)
+    assert row["n_pairs"] == n
+    assert row["w_plus"] == pytest.approx(w_plus, abs=1e-9)
+    assert row["z_stat"] == pytest.approx(z, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [81, 82])
+def test_two_sample_ks_matches_edf_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+
+    pairs = _tied_fixture(seed, 55)
+    _write_events_uv(spark, tmp_path, pairs)
+    row = (
+        all_queries()["events_two_sample_ks"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    x = sorted(round(v * 100) for u, v in pairs if u % 2 == 0)
+    y = sorted(round(v * 100) for u, v in pairs if u % 2 == 1)
+    n0, n1 = len(x), len(y)
+    best = (-1, None)
+    for z_ in sorted(set(x + y)):
+        f0 = bisect.bisect_right(x, z_)
+        f1 = bisect.bisect_right(y, z_)
+        gap = abs(f0 * n1 - f1 * n0)
+        # tie-break: max gap, then SMALLEST cents (the entry's orderBy)
+        if gap > best[0]:
+            best = (gap, z_)
+    assert row["n0"] == n0 and row["n1"] == n1
+    assert row["ks_at_value"] == pytest.approx(best[1] / 100.0)
+    assert row["ks_d"] == pytest.approx(best[0] / (n0 * n1), abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [91, 92])
+def test_cramer_von_mises_matches_edf_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+
+    pairs = _tied_fixture(seed, 48)
+    _write_events_uv(spark, tmp_path, pairs)
+    row = (
+        all_queries()["events_cramer_von_mises"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    x = sorted(round(v * 100) for u, v in pairs if u % 2 == 0)
+    y = sorted(round(v * 100) for u, v in pairs if u % 2 == 1)
+    n0, n1 = len(x), len(y)
+    N = n0 + n1
+    s = 0.0
+    for z_ in sorted(set(x + y)):
+        f0 = bisect.bisect_right(x, z_)
+        f1 = bisect.bisect_right(y, z_)
+        from collections import Counter
+
+        l = Counter(x)[z_] + Counter(y)[z_]
+        g = f0 / n0 - f1 / n1
+        s += l * g * g
+    cvm = n0 * n1 / N**2 * s
+    assert row["cvm_stat"] == pytest.approx(cvm, abs=2e-6)
