@@ -344,3 +344,129 @@ def test_cramer_von_mises_matches_edf_model(spark, tmp_path, seed):
         s += l * g * g
     cvm = n0 * n1 / N**2 * s
     assert row["cvm_stat"] == pytest.approx(cvm, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [101, 102])
+def test_pettitt_matches_sgn_pair_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+
+    rng = random.Random(seed)
+    rows = []
+    # 20 days with a level shift mid-way plus noise ties
+    for d in range(1, 21):
+        base = 3 if d <= 10 else 6
+        cnt = base + rng.randrange(3)
+        for i in range(cnt):
+            rows.append((i, f"2024-03-{d:02d} 08:00:00", "click", 1.0))
+    spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    row = (
+        all_queries()["events_pettitt_test"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    from collections import Counter
+
+    daily = Counter()
+    for _, ts, _, _ in rows:
+        daily[ts[:10]] += 1
+    days = sorted(daily)
+    xs = [daily[d] for d in days]
+    n = len(xs)
+    best_k, best_t = -1, None
+    for t in range(1, n + 1):
+        u = sum(
+            (1 if xs[i] > xs[j] else -1 if xs[i] < xs[j] else 0)
+            for i in range(t)
+            for j in range(t, n)
+        )
+        if abs(u) > best_k:
+            best_k, best_t = abs(u), t
+    p = 2.0 * math.exp(-6.0 * best_k**2 / (n**3 + n**2))
+    assert row["n_days"] == n
+    assert row["k_stat"] == best_k
+    assert row["change_day"] == days[best_t - 1]
+    assert row["p_approx"] == pytest.approx(p, abs=2e-6)
+
+
+def _write_lineitem_qd(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "l_quantity long, l_discount double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+
+
+@pytest.mark.parametrize("seed", [111, 112])
+def test_kendall_tau_b_matches_pair_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(1, 8), rng.randrange(5) * 0.02)
+        for _ in range(60)
+    ]
+    _write_lineitem_qd(spark, tmp_path, rows)
+    row = (
+        all_queries()["lineitem_kendall_tau"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    pts = [(round(d * 100), q) for q, d in rows]
+    n = len(pts)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    tx = sum(c * (c - 1) // 2 for c in Counter(p[0] for p in pts).values())
+    ty = sum(c * (c - 1) // 2 for c in Counter(p[1] for p in pts).values())
+    tau = (conc - disc) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+    assert row["n_rows"] == n
+    assert row["p_concordant"] == pytest.approx(conc / n0, abs=2e-6)
+    assert row["p_discordant"] == pytest.approx(disc / n0, abs=2e-6)
+    assert row["tau_b"] == pytest.approx(tau, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [121, 122])
+def test_spearman_matches_midrank_pearson_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(1, 8), rng.randrange(5) * 0.02)
+        for _ in range(60)
+    ]
+    _write_lineitem_qd(spark, tmp_path, rows)
+    row = (
+        all_queries()["lineitem_spearman_corr"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    qs = sorted(q for q, _ in rows)
+    ds = sorted(round(d * 100) for _, d in rows)
+    rx = [_midrank(q, qs) for q, _ in rows]
+    ry = [_midrank(round(d * 100), ds) for _, d in rows]
+    n = len(rows)
+    mx, my = sum(rx) / n, sum(ry) / n
+    sxy = sum((rx[i] - mx) * (ry[i] - my) for i in range(n))
+    sxx = sum((r - mx) ** 2 for r in rx)
+    syy = sum((r - my) ** 2 for r in ry)
+    rho = sxy / math.sqrt(sxx * syy)
+    assert row["n_rows"] == n
+    assert row["rho_spearman"] == pytest.approx(rho, abs=2e-6)
