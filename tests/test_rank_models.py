@@ -470,3 +470,91 @@ def test_spearman_matches_midrank_pearson_model(spark, tmp_path, seed):
     rho = sxy / math.sqrt(sxx * syy)
     assert row["n_rows"] == n
     assert row["rho_spearman"] == pytest.approx(rho, abs=2e-6)
+
+
+@pytest.mark.parametrize("seed", [131, 132])
+def test_ljung_box_matches_acf_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+
+    rng = random.Random(seed)
+    rows = []
+    for d in range(1, 26):
+        for _ in range(rng.randrange(1, 4)):
+            rows.append(
+                (f"2024-04-{d:02d}", rng.randrange(20, 90) * 1.00)
+            )
+    spark.createDataFrame(
+        rows, "o_orderdate string, o_totalprice double"
+    ).selectExpr(
+        "CAST(o_orderdate AS DATE) AS o_orderdate", "o_totalprice"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    row = (
+        all_queries()["orders_ljung_box"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    from collections import defaultdict
+
+    daily = defaultdict(int)
+    for day, p in rows:
+        daily[day] += round(p * 100)
+    xs = [daily[d] for d in sorted(daily)]
+    n = len(xs)
+    m = sum(xs) / n
+    den = sum((x - m) ** 2 for x in xs)
+    q = 0.0
+    rho1 = None
+    for k in range(1, 8):
+        num = sum((xs[t] - m) * (xs[t + k] - m) for t in range(n - k))
+        rho = num / den
+        if k == 1:
+            rho1 = rho
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert row["n_days"] == n
+    assert row["rho_lag1"] == pytest.approx(rho1, abs=2e-6)
+    assert row["q_stat"] == pytest.approx(q, abs=2e-5)
+
+
+@pytest.mark.parametrize("seed", [141, 142])
+def test_bartlett_matches_pooled_variance_model(spark, tmp_path, seed):
+    from trackdechets_etl_spark.queries import all_queries
+
+    rng = random.Random(seed)
+    types = ["click", "error", "purchase", "signup", "view"]
+    rows = []
+    for u in range(120):
+        t = types[rng.randrange(5)]
+        rows.append((u, t, rng.randrange(10, 80) * 0.50))
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    row = (
+        all_queries()["events_bartlett_test"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    groups = {}
+    for _, t, v in rows:
+        groups.setdefault(t, []).append(round(v * 100))
+    k = len(groups)
+    N = sum(len(vs) for vs in groups.values())
+    ssw = slog = sinv = 0.0
+    for vs in groups.values():
+        ng = len(vs)
+        mg = sum(vs) / ng
+        s2 = sum((v - mg) ** 2 for v in vs) / (ng - 1)
+        ssw += (ng - 1) * s2
+        slog += (ng - 1) * math.log(s2)
+        sinv += 1.0 / (ng - 1)
+    c = 1.0 + (sinv - 1.0 / (N - k)) / (3.0 * (k - 1))
+    t_stat = ((N - k) * math.log(ssw / (N - k)) - slog) / c
+    assert row["k"] == k and row["n"] == N
+    assert row["c_factor"] == pytest.approx(c, abs=2e-6)
+    assert row["bartlett_t"] == pytest.approx(t_stat, abs=2e-5)
