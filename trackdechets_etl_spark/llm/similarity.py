@@ -76,10 +76,27 @@ def topk_bruteforce(
     ``query_ids_max``. The query side is tiny → broadcast; the corpus is
     scanned once. Rank key is (cos rounded to 9dp desc, id asc) for
     engine-stable ordering."""
+    # Norms are projected once per SIDE (r14, the near_dup_pairs_bucketed
+    # rule): cosine() would recompute sqrt(dot(v,v)) for both vectors on
+    # every (query, candidate) pair — queries×corpus pairs — when the
+    # corpus norm is a per-row quantity computable in the single corpus
+    # scan. Same expression shape and fold order as cosine() →
+    # bit-identical output (pinned by the sf0.01/0.1 oracle compare and
+    # the partition/strategy invariance gates).
     q = emb.filter(F.col(id_col) < query_ids_max).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(dot(as_double(F.col(vec_col)), as_double(F.col(vec_col)))).alias(
+            "__qn"
+        ),
     )
-    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = emb.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(dot(as_double(F.col(vec_col)), as_double(F.col(vec_col)))).alias(
+            "__cn"
+        ),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -87,7 +104,10 @@ def topk_bruteforce(
         .select(
             "q_id",
             "c_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+            (
+                dot(as_double(F.col("q_vec")), as_double(F.col("c_vec")))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -110,20 +130,39 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket. Same rank key as the exact variant."""
+    # Per-side norm projection (r14) — see topk_bruteforce.
     bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), bucket_expr(F.col(vec_col), dims).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_expr(F.col(vec_col), dims).alias("bucket"),
+        F.sqrt(dot(as_double(F.col(vec_col)), as_double(F.col(vec_col)))).alias(
+            "__n"
+        ),
     )
     q = bucketed.filter(F.col(id_col) < query_ids_max).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        "bucket",
+        F.col("__n").alias("__qn"),
     )
     c = bucketed.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "bucket"
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        "bucket",
+        F.col("__n").alias("__cn"),
     )
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(as_double(F.col("q_vec")), as_double(F.col("c_vec")))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.round(F.col("cos"), 9).desc(), F.col("c_id").asc()
@@ -200,8 +239,15 @@ def ivf_topk(
     cents = label_centroids(emb, id_col, vec_col, label_col).select(
         F.col(label_col).alias("__list"), F.col("centroid")
     )
+    # Per-side norm projection (r14) — see topk_bruteforce. The query
+    # norm rides through the routing window; the candidate norm is
+    # computed once per corpus row in the list scan.
     q = emb.filter(F.col(id_col) < query_ids_max).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(dot(as_double(F.col(vec_col)), as_double(F.col(vec_col)))).alias(
+            "__qn"
+        ),
     )
     routed = (
         F.broadcast(q)
@@ -209,6 +255,7 @@ def ivf_topk(
         .select(
             "q_id",
             "q_vec",
+            "__qn",
             "__list",
             cosine(F.col("q_vec"), F.col("centroid")).alias("__rcos"),
         )
@@ -219,18 +266,28 @@ def ivf_topk(
     assigned = (
         routed.withColumn("__rn", F.row_number().over(wr))
         .filter(F.col("__rn") == 1)
-        .select("q_id", "q_vec", "__list")
+        .select("q_id", "q_vec", "__qn", "__list")
     )
     c = emb.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(label_col).alias("__list"),
+        F.sqrt(dot(as_double(F.col(vec_col)), as_double(F.col(vec_col)))).alias(
+            "__cn"
+        ),
     )
     scored = (
         F.broadcast(assigned)
         .join(c, "__list")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(as_double(F.col("q_vec")), as_double(F.col("c_vec")))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(
         F.round(F.col("cos"), 9).desc(), F.col("c_id").asc()

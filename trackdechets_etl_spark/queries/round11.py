@@ -115,14 +115,27 @@ def _events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn")
         .withColumn("day", F.to_date("ts"))
     )
-    wd = Window.partitionBy("day")
-    peak = cum.withColumn("day_peak", F.max("conc").over(wd))
+    # Day peak + first-reaching timestamp in ONE aggregation: the
+    # argmax-with-min-ts-tiebreak is max(struct(conc, -ts_micros)) —
+    # struct comparison is lexicographic, so the max picks the highest
+    # conc and, among its ties, the smallest ts. This replaces the
+    # day-partitioned window + filter + groupBy (a full exchange+sort
+    # of the point frame) with a partial-aggregated groupBy whose
+    # exchange carries one row per (day × map partition) — the
+    # shuffle-fewer-bytes rule. ts is timestamp_ntz; the micros
+    # round-trip goes through the UTC session timezone, which is
+    # lossless (r14 A/B: 1.65→1.54 s best, exact-equal at sf0.01).
+    negts = (
+        F.lit(0).cast("long") - F.unix_micros(F.col("ts").cast("timestamp"))
+    ).alias("__negts")
+    s = cum.groupBy("day").agg(F.max(F.struct(F.col("conc"), negts)).alias("__s"))
     return (
-        peak.filter(F.col("conc") == F.col("day_peak"))
-        .groupBy("day")
-        .agg(
-            F.max("conc").cast("int").alias("peak_concurrent"),
-            F.min("ts").alias("first_peak_ts"),
+        s.select(
+            "day",
+            F.col("__s.conc").cast("int").alias("peak_concurrent"),
+            F.timestamp_micros(F.lit(0).cast("long") - F.col("__s.__negts"))
+            .cast("timestamp_ntz")
+            .alias("first_peak_ts"),
         )
         .orderBy("day")
     )
