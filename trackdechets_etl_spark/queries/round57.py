@@ -108,16 +108,24 @@ def _text_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    owners = sh.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("nd"),
-        F.count(F.lit(1)).alias("n_occ"),
+    # Join-free owner counting (r14, the dedup_clusters window-count
+    # rule): aggregate spans to (h, doc_id) with per-doc occurrence
+    # counts, then a window count over h gives the number of DISTINCT
+    # owner docs per span hash (the frame is (h, doc_id)-unique), so
+    # the owners aggregate and its join back onto the full position
+    # frame are gone. The (h, doc_id) aggregation partial-aggregates
+    # map-side, and the window sees the already-shrunk frame. Exact
+    # integer equivalence; interleaved A/B at sf0.1: best 1.70 →
+    # 1.25 s, all four rounds faster.
+    per = sh.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("__c"))
+    wnd = per.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
-    j = sh.join(owners, "h")
     return (
-        j.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
+        wnd.groupBy(F.col("doc_id").cast("long").alias("doc_id"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            F.sum("__c").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") > 1, F.col("__c")).otherwise(0))
             .cast("long")
             .alias("n_dup_spans"),
         )

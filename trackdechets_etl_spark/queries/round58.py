@@ -408,16 +408,25 @@ def _text_repeated_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = led.filter(F.col(f"t{n - 1}").isNotNull()).select(
             "doc_id", F.md5(F.concat_ws(" ", *cols)).alias("h")
         )
-        owners = sh.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
-        agg = (
-            sh.join(owners, "h")
-            .agg(
-                F.lit(n).cast("long").alias("span_n"),
-                F.count(F.lit(1)).cast("long").alias("n_positions"),
-                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-                .cast("long")
-                .alias("n_dup_positions"),
-            )
+        # Join-free rung (r14): the rung total only needs, per span
+        # hash, its position count and whether it spans >1 document —
+        # so aggregate (h, doc_id) → per-doc counts, then h → (total
+        # positions, n_docs), then sum. The owners join (which
+        # re-shuffled the full position frame by h per rung) is gone;
+        # both aggregations partial-aggregate map-side. n_docs is a
+        # plain count over the (h, doc_id)-grouped frame — no distinct
+        # machinery. Exact-integer equivalence; interleaved A/B at
+        # sf0.1: median 4.63 → 3.91 s, best 3.89 → 3.63 s.
+        per = sh.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("__c"))
+        grp = per.groupBy("h").agg(
+            F.sum("__c").alias("__cnt"), F.count(F.lit(1)).alias("__nd")
+        )
+        agg = grp.agg(
+            F.lit(n).cast("long").alias("span_n"),
+            F.sum("__cnt").cast("long").alias("n_positions"),
+            F.sum(F.when(F.col("__nd") > 1, F.col("__cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_positions"),
         )
         rungs.append(agg)
     out = rungs[0]
