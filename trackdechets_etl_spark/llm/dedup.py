@@ -184,14 +184,22 @@ def ngram_jaccard_pairs(
         sh.select(F.col(id_col), F.xxhash64("shingle").alias("k"))
         .localCheckpoint(eager=True)
     )
-    sizes = keyed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     w = Window.partitionBy(id_col).orderBy("k")
     # prefix length |d| - ceil(t*|d|) + 1; the 1e-9 keeps ceil from
     # rounding an exactly-integral t*|d| UP on its binary representation
     # (which would shorten the prefix and break the no-loss guarantee).
+    # n_sh is a window count over the SAME partition key as the prefix
+    # row_number, so it rides that window's exchange+sort — the
+    # separate sizes aggregate and its join back onto the window frame
+    # are gone (r14 join-free owner counting; interleaved A/B at
+    # sf0.1: faster all 4 rounds, best 1.63 → 1.54 s, exact output).
     pref = (
-        keyed.withColumn("__rn", F.row_number().over(w))
-        .join(sizes, id_col)
+        keyed.select(
+            id_col,
+            "k",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_sh"),
+        )
         .filter(
             F.col("__rn")
             <= F.col("n_sh")
@@ -400,7 +408,17 @@ def containment_pairs(
     b_full = keyed.select(F.col(id_col).alias("id_b"), "k")
     if prefix_filter:
         w = Window.partitionBy(id_col).orderBy("k")
-        pos = keyed.withColumn("__rn", F.row_number().over(w)).join(sizes, id_col)
+        # n_sh as a window count over the same partition key rides the
+        # prefix window's exchange+sort — the sizes join onto the full
+        # position frame is gone (sizes itself stays: the containment
+        # denominator below still needs it). r14 join-free owner
+        # counting, same proof as ngram_jaccard_pairs.
+        pos = keyed.select(
+            id_col,
+            "k",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("n_sh"),
+        )
         a_cand = pos.filter(
             F.col("__rn")
             <= F.col("n_sh")

@@ -520,18 +520,25 @@ def _dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that one side is the batch and the other the corpus, so the
     # result set is provably unchanged while the inverted-index join
     # shrinks ~(1−t)² on both sides. One keyed shingle frame feeds
-    # four consumers (sizes, prefix window, both verification joins) —
+    # three consumers (prefix window, both verification joins) —
     # eager checkpoint per the measured many-consumer rule.
     keyed = (
         shingles(d, "text", "doc_id", 3)
         .select("doc_id", F.xxhash64("shingle").alias("k"))
         .localCheckpoint(eager=True)
     )
-    sizes = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     wp = Window.partitionBy("doc_id").orderBy("k")
+    # n_sh as a window count over the same partition key rides the
+    # prefix window's exchange+sort; the sizes aggregate and its join
+    # are gone (r14 join-free owner counting, same proof as
+    # ngram_jaccard_pairs).
     pref = (
-        keyed.withColumn("__rn", F.row_number().over(wp))
-        .join(sizes, "doc_id")
+        keyed.select(
+            "doc_id",
+            "k",
+            F.row_number().over(wp).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_sh"),
+        )
         .filter(
             F.col("__rn")
             <= F.col("n_sh")
