@@ -125,25 +125,39 @@ _VERIFY_FIRST = [
     "dedup_token_savings",
     "embedding_hubness_score",
     "dedup_embedding_cosine",
-    # slots 29-50: stale-green rotation, oldest last-green first (the
-    # remaining r05 ledger in CORRECTNESS_r05 row order).
-    "events_markov_transitions",
-    "events_windowed_dedup",
-    "orders_ship_latency",
-    "orders_yoy_growth",
-    "join_dpp_partition_pruned",
+    # slots 33-46: optimization-round plan-changed entries (each
+    # bit-identity-pinned by interleaved A/B + targeted oracle compare
+    # at sf0.001/0.01 + full drive green after the change — see
+    # OPTIMIZATION_r14.md): the concurrency-peak fused aggregation,
+    # the three top-k per-side norm projections, the two repeated-span
+    # join-free rewrites, the prefix-filter window-count consumers
+    # (ngram jaccard + its four downstream pipelines, containment,
+    # incremental batch), and the winnow window-max rewrite pair.
+    "events_concurrency_peak",
+    "sim_topk_bruteforce",
+    "sim_lsh_bucket_topk",
+    "sim_ivf_topk",
+    "text_repeated_span_coverage",
+    "text_repeated_span_ladder",
+    "dedup_ngram_jaccard",
+    "pipeline_training_data",
+    "pipeline_corpus_clean",
+    "dedup_minhash_recall",
+    "dedup_incremental_batch",
+    "text_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "dedup_containment_pairs",
+    # slots 47-50: stale-green rotation, oldest last-green first (the
+    # remaining r05 ledger in CORRECTNESS_r05 row order). Displaced to
+    # the r15 queue front by the plan-changed block above:
+    # events_markov_transitions, events_windowed_dedup,
+    # orders_ship_latency, orders_yoy_growth, join_dpp_partition_pruned,
+    # events_ewma_daily, weighted_median_parts, join_grid_spatial,
+    # text_bpe_pairs, sketch_countmin_heavyhitters,
+    # events_rolling_median, events_twap, events_winsorized_stats.
     "sim_pq_recall",
     "sim_ivfpq_topk",
-    "events_ewma_daily",
-    "weighted_median_parts",
-    "join_grid_spatial",
-    "text_bpe_pairs",
-    "sketch_countmin_heavyhitters",
-    "events_rolling_median",
-    "events_twap",
-    "events_winsorized_stats",
     "dq_benford_digits",
-    "dedup_containment_pairs",
 ]
 
 
