@@ -58,17 +58,49 @@ def explode_subspaces(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid assignment per (vector, subspace): L2 distance
-    to each of the K centroids (K× fanout on a broadcast M*K*DSUB-row
-    codebook, then a map-side-combinable sum), argmin via row_number
-    with the engine-stable (round(dist, 9), code) key."""
-    d = (
-        e.join(F.broadcast(cents), ["m", "i"])
-        .groupBy("vid", "m", "code")
-        .agg(
-            F.sum(
-                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
-            ).alias("dist")
+    to each of the K centroids, argmin via row_number with the
+    engine-stable (round(dist, 9), code) key.
+
+    r14 shape: the subvector is first PIVOTED to one row per
+    (vid, m) with DSUB value columns (one n×M×DSUB → n×M aggregation),
+    and the K× centroid fanout + distance happen on that paired frame
+    as a scalar expression — no post-fanout aggregation at all. The
+    old long-form path shuffled the K×-fanned frame twice (partial-agg
+    rows ≈ n×M×K into the distance groupBy, then again into the argmin
+    window); now one n×M-row exchange feeds the pivot, the broadcast
+    fanout is map-side, and the argmin window reuses the pivot's
+    hash(vid, m) partitioning — assign-stage shuffle drops ~2·K×.
+    Bit-identical: with DSUB = 2 the old sum aggregated exactly two
+    IEEE doubles (addition of two terms is order-independent), and the
+    paired form adds the same two squares in fixed order; the
+    (round(dist, 9), code) tie-break is unchanged. Measured
+    (interleaved best-of-4, sf0.1): ivfpq 4.97 → 4.61 s faster all
+    rounds, pq_recall 5.07 → 4.66 s best; exact-equal at sf0.001/0.01.
+    """
+    assert DSUB == 2, "the paired-dims exactness argument assumes DSUB == 2"
+    e2 = e.groupBy("vid", "m").agg(
+        *[
+            F.min(
+                F.when((F.col("i") - 1) % DSUB == off, F.col("val"))
+            ).alias(f"v{off}")
+            for off in range(DSUB)
+        ]
+    )
+    c2 = cents.groupBy("m", "code").agg(
+        *[
+            F.min(
+                F.when((F.col("i") - 1) % DSUB == off, F.col("cval"))
+            ).alias(f"c{off}")
+            for off in range(DSUB)
+        ]
+    )
+    dist = (F.col("v0") - F.col("c0")) * (F.col("v0") - F.col("c0"))
+    for off in range(1, DSUB):
+        dist = dist + (F.col(f"v{off}") - F.col(f"c{off}")) * (
+            F.col(f"v{off}") - F.col(f"c{off}")
         )
+    d = e2.join(F.broadcast(c2), "m").select(
+        "vid", "m", "code", dist.alias("dist")
     )
     w = Window.partitionBy("vid", "m").orderBy(F.round(F.col("dist"), 9), "code")
     return (
