@@ -137,10 +137,24 @@ def test_chunk_overlap_is_shuffle_free(spark):
     )
 
 
-def test_q21_probes_are_semi_and_anti(spark):
+def test_q21_probes_decorrelated_to_aggregates(spark):
+    """r14: the EXISTS/NOT EXISTS probes are per-order min/max
+    aggregates, not row-level semi/anti joins — no raw (orderkey,
+    suppkey) shuffle or broadcast survives, and lineitem is scanned
+    exactly twice (late rows + the all-supplier aggregate)."""
     plan = _plan(REGISTRY["tpch_q21_suppliers_waiting"].fn(spark, SF_DIR))
-    assert "LeftSemi" in plan, "Q21 other-supplier probe should be a semi join"
-    assert "LeftAnti" in plan, "Q21 other-late probe should be an anti join"
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, (
+        "Q21 existence probes must stay decorrelated into aggregates"
+    )
+    assert "SortMergeJoin" not in plan, (
+        "Q21 should carry no raw-row sort-merge join at this scale"
+    )
+    assert plan.count("min(l_suppkey") >= 2 and plan.count("max(l_suppkey") >= 2, (
+        "both probes should aggregate min/max supplier per order"
+    )
+    assert plan.count("lineitem.parquet") == 2, (
+        "lineitem must be scanned exactly twice (late frame + all-supplier agg)"
+    )
 
 
 def test_market_basket_self_join_single_key_copartition(spark):

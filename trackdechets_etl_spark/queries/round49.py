@@ -38,9 +38,12 @@ def _orders_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s"),
     )
-    iv = o.select(
-        "o_custkey", "s", (F.col("s") + _IVL_DAYS).alias("e")
-    ).dropDuplicates(["o_custkey", "s"])
+    # No dropDuplicates: e = s + _IVL_DAYS is a function of s, so a
+    # duplicate (custkey, s) row always lands in its twin's island with
+    # new_island = 0 and changes neither min(s) nor max(e) per island —
+    # the dedup exchange was pure cost (r14 optimization, exact-equal
+    # gated at 3 SFs; the oracle keeps its DISTINCT, same output).
+    iv = o.select("o_custkey", "s", (F.col("s") + _IVL_DAYS).alias("e"))
     w = Window.partitionBy("o_custkey").orderBy("s", "e")
     prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = iv.withColumn(

@@ -315,24 +315,22 @@ def _part_croston_intermittent(
             .alias("q")
         )
     )
-    w = Window.partitionBy("l_partkey").orderBy("wk")
-    gaps = pw.select(
-        "l_partkey",
-        "q",
-        (
-            F.datediff(F.col("wk"), F.lag("wk").over(w)) / 7
-        )
-        .cast("long")
-        .alias("gap"),
-    )
+    # The lag-gap window telescopes (r14): week-truncated dates differ
+    # by exact multiples of 7 days, so the per-row gap sum equals
+    # datediff(max wk, min wk)/7 and count(gap) is n_weeks - 1 — the
+    # per-part window exchange + sort is gone, and the (part, wk)
+    # frame folds straight into one partial-aggregated groupBy.
+    # Exact-equal gated vs the window form at 3 SFs.
     per = (
-        gaps.groupBy("l_partkey")
+        pw.groupBy("l_partkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_weeks"),
             F.sum("q").cast("long").alias("sq"),
-            F.sum("gap").cast("long").alias("sgap"),
-            F.count("gap").cast("long").alias("ngap"),
+            (F.datediff(F.max("wk"), F.min("wk")) / 7)
+            .cast("long")
+            .alias("sgap"),
         )
+        .withColumn("ngap", F.col("n_weeks") - F.lit(1))
         .filter(F.col("ngap") >= 1)
     )
     zbar = F.col("sq") / F.col("n_weeks")

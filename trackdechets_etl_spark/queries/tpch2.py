@@ -615,49 +615,46 @@ def _q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact join. Adapted: 'late' = shipped more than 60 days after
     the order date (corpus has no commit/receipt dates).
 
-    Scale notes: the two existence probes join lineitem to itself on
-    l_orderkey — the probe sides are projected to (orderkey, suppkey)
-    before the shuffle, and the late probe is pre-filtered by the same
-    late predicate, so each side is a fraction of the fact."""
+    Scale notes (r14 rewrite): both existence probes decorrelate into
+    per-order aggregates — EXISTS(another supplier) is NOT(min == max
+    == own suppkey) over ALL the order's lineitems, and NOT EXISTS
+    (another late supplier) is min_late == max_late (the probing row's
+    own supplier is in the late set, so a singleton set is exactly it).
+    Row multiplicity is preserved by carrying count(*) of the sole late
+    supplier's rows. The two aggregates are co-partitioned on
+    l_orderkey, so their join adds no exchange; the raw-row semi/anti
+    shuffles (and the full (orderkey, suppkey) broadcast build) are
+    gone. Exact-equal gated vs the semi/anti form at 3 SFs."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
 
-    l1 = (
+    late_rows = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(late)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select("l_orderkey", "l_suppkey", "s_name")
+        .select("l_orderkey", "l_suppkey")
     )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    la = late_rows.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("lmn"),
+        F.max("l_suppkey").alias("lmx"),
+        F.count(F.lit(1)).alias("n_late"),
     )
-    other_late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(late)
-        .select(
-            F.col("l_orderkey").alias("o3_orderkey"),
-            F.col("l_suppkey").alias("o3_suppkey"),
-        )
+    ga = li.groupBy("l_orderkey").agg(
+        F.min("l_suppkey").alias("amn"), F.max("l_suppkey").alias("amx")
+    )
+    q = la.join(ga, "l_orderkey").filter(
+        (F.col("lmn") == F.col("lmx"))
+        & ((F.col("amn") != F.col("lmn")) | (F.col("amx") != F.col("lmn")))
+    )
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
     )
     return (
-        l1.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
-        )
+        q.join(F.broadcast(dim), F.col("lmn") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late").alias("numwait"))
     )
 
 
