@@ -336,7 +336,13 @@ def test_basket_lift_reuses_copartitioned_self_join(spark):
     plan = _plan(REGISTRY["orders_basket_lift"].fn(spark, SF_DIR))
     assert "SortMergeJoin" in plan, "pair self-join should sort-merge"
     assert "BroadcastHashJoin" in plan, "support joins should broadcast"
-    assert plan.count("hashpartitioning(ok") >= 1
+    # r14: the raw projection hashes on l_orderkey BEFORE the dedup, so
+    # the deduped self-join sides inherit that partitioning — no
+    # post-dedup re-exchange on the aliased key may reappear.
+    assert plan.count("hashpartitioning(l_orderkey") >= 1
+    assert "hashpartitioning(ok" not in plan, (
+        "self-join sides must ride the pre-dedup order-key exchange"
+    )
 
 
 def test_semantic_prune_broadcasts_centroids(spark):

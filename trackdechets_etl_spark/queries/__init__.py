@@ -66,15 +66,15 @@ _VERIFY_FIRST = [
     "events_mood_median",
     "events_cochran_q",
     "events_mcnemar",
-    # slots 5-10: the six rotation entries evicted late in r13 for the
-    # PPJoin plan-changed consumers (promised re-queue, r13 verdict
-    # ask #1).
+    # slot 5: oldest of the six rotation entries evicted late in r13
+    # for the PPJoin plan-changed consumers (promised re-queue, r13
+    # verdict ask #1). The other five (string_agg_sorted,
+    # events_running_distinct, flagship_revenue_by_nation,
+    # events_dwell_times, events_funnel_horizon) are displaced to the
+    # r15 queue front by the second optimization batch below —
+    # plan-changed entries outrank stale greens (verdict ask #6);
+    # flagship additionally has continuous bench + selfcheck coverage.
     "agg_stats_suite",
-    "string_agg_sorted",
-    "events_running_distinct",
-    "flagship_revenue_by_nation",
-    "events_dwell_times",
-    "events_funnel_horizon",
     # slots 11-18: entries whose plan or code path changed THIS round
     # after their last green row — the five exact-percentile consumers
     # (operators/percentiles.py single-scan rewrite: NULL-value rows
@@ -92,7 +92,9 @@ _VERIFY_FIRST = [
     "events_brown_forsythe",
     "linkage_edit_distance_join",
     "reco_holdout_hitrate",
-    "profile_orders",
+    # profile_orders (queued out of caution only — dtype guard, no
+    # fixture plan change) is displaced to the r15 queue front by the
+    # second optimization batch below.
     # text_bleu_dup_pairs: the pairs eager-checkpoint landed after its
     # r13 green row (round75.py) — re-verify with the new plan
     "text_bleu_dup_pairs",
@@ -147,17 +149,34 @@ _VERIFY_FIRST = [
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
     "dedup_containment_pairs",
-    # slots 47-50: stale-green rotation, oldest last-green first (the
-    # remaining r05 ledger in CORRECTNESS_r05 row order). Displaced to
-    # the r15 queue front by the plan-changed block above:
-    # events_markov_transitions, events_windowed_dedup,
-    # orders_ship_latency, orders_yoy_growth, join_dpp_partition_pruned,
-    # events_ewma_daily, weighted_median_parts, join_grid_spatial,
-    # text_bpe_pairs, sketch_countmin_heavyhitters,
-    # events_rolling_median, events_twap, events_winsorized_stats.
+    # slots 42-48: second optimization batch — plan-changed tail rows
+    # (each bit-identity-pinned by interleaved A/B + targeted oracle
+    # compare at 3 SFs + full drive green after the change — see
+    # OPTIMIZATION_r14.md "continuation"): the Q21 probe
+    # decorrelation, the interval-coalesce dedup removal, the Croston
+    # gap telescoping, the half-graph assortativity, the basket-lift
+    # shared order-key exchange, the price-dispersion checkpoint, and
+    # the conformal model-side n_cal.
+    "tpch_q21_suppliers_waiting",
+    "orders_interval_coalesce",
+    "part_croston_intermittent",
+    "graph_degree_assortativity",
+    "orders_basket_lift",
+    "part_price_dispersion_nations",
+    "orders_conformal_interval",
+    # slots 49-50: the PQ paired-subspace consumers (plan-changed this
+    # round). dq_benford_digits (stale-green rotation) joins the
+    # displaced r15 queue front: events_markov_transitions,
+    # events_windowed_dedup, orders_ship_latency, orders_yoy_growth,
+    # join_dpp_partition_pruned, events_ewma_daily,
+    # weighted_median_parts, join_grid_spatial, text_bpe_pairs,
+    # sketch_countmin_heavyhitters, events_rolling_median, events_twap,
+    # events_winsorized_stats, string_agg_sorted,
+    # events_running_distinct, flagship_revenue_by_nation,
+    # events_dwell_times, events_funnel_horizon, profile_orders,
+    # dq_benford_digits.
     "sim_pq_recall",
     "sim_ivfpq_topk",
-    "dq_benford_digits",
 ]
 
 

@@ -39,9 +39,15 @@ def _orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, and the order total is a 1-row broadcast. Floats only
     in the final three ratios, rounded at 6 — no boundary to diverge
     on."""
+    # r14: hash the raw projection on the order key FIRST — the dedup
+    # aggregate then satisfies its (orderkey, partkey) clustering from
+    # the subset rule and, crucially, both self-join sides inherit the
+    # order-key partitioning, so the two join-side re-exchanges of the
+    # deduped frame are gone (sorts only). Output unchanged.
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
         .distinct()
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))

@@ -105,41 +105,37 @@ _AS_OFFSET = 1_000_000
 def _graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r14: the directed-edge frame is the union of both orientations of
+    # each undirected (cust, supp) edge, so every moment over it is a
+    # symmetric function of the half graph: n = 2m, sx = sy =
+    # Σ(dc + ds), sxy = 2·Σ(dc·ds), sxx = syy = Σ(dc² + ds²) — all
+    # integer-exact, so the doubles (and the rounded r) are
+    # bit-identical to the doubled-frame form. The union + 2m-row
+    # degree/join passes are replaced by half-size passes over the raw
+    # bipartite edge set (lazy-checkpointed once for its 3 consumers).
     raw = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    edges = raw.select(
-        F.col("cust").alias("src"), (F.col("supp") + _AS_OFFSET).alias("dst")
-    ).unionByName(
-        raw.select(
-            (F.col("supp") + _AS_OFFSET).alias("src"), F.col("cust").alias("dst")
-        )
-    ).localCheckpoint(eager=False)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    pairs = (
-        edges.join(deg.select(F.col("src"), F.col("deg").alias("dx")), "src")
-        .join(
-            deg.select(F.col("src").alias("dst"), F.col("deg").alias("dy")),
-            "dst",
-        )
-        .select("dx", "dy")
-    )
+    degc = raw.groupBy("cust").agg(F.count(F.lit(1)).alias("dc"))
+    degs = raw.groupBy("supp").agg(F.count(F.lit(1)).alias("ds"))
+    pairs = raw.join(degc, "cust").join(degs, "supp").select("dc", "ds")
     sums = pairs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dx").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        (F.count(F.lit(1)) * 2).alias("n"),
+        F.sum(F.col("dc") + F.col("ds")).alias("sx"),
+        (F.sum(F.col("dc") * F.col("ds")) * 2).alias("sxy"),
+        F.sum(
+            F.col("dc") * F.col("dc") + F.col("ds") * F.col("ds")
+        ).alias("sxx"),
     )
     n = F.col("n").cast("double")
-    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sx")) / F.sqrt(
         (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        * (n * F.col("sxx") - F.col("sx") * F.col("sx"))
     )
     return sums.select(
         F.col("n").cast("long").alias("n_edges"),

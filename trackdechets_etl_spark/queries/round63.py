@@ -392,18 +392,26 @@ def _orders_conformal_interval(
         ).alias("is_cal"),
     )
     cal = o.filter("is_cal")
-    model = cal.groupBy("g").agg(
-        F.round(F.avg("cents")).cast("long").alias("mc")
-    )
+    # r14: the model aggregate carries the per-month calibration count,
+    # so n_cal (= Σ n_g: the model join is inner on the calibration
+    # rows' own months, preserving row count) and k come from a one-row
+    # aggregate of the tiny model frame — the second full scan+md5 pass
+    # over the calibration rows that nk used to cost is gone. The model
+    # frame is lazy-checkpointed once for its three consumers.
+    model_n = cal.groupBy("g").agg(
+        F.round(F.avg("cents")).cast("long").alias("mc"),
+        F.count(F.lit(1)).alias("n_g"),
+    ).localCheckpoint(eager=False)
+    model = model_n.select("g", "mc")
     res = cal.join(F.broadcast(model), "g").select(
         "o_orderkey", F.abs(F.col("cents") - F.col("mc")).alias("r")
     )
-    nk = res.agg(
-        F.count(F.lit(1)).cast("long").alias("n_cal"),
+    nk = model_n.agg(
+        F.sum("n_g").cast("long").alias("n_cal"),
         # exact ceil(0.9*(n+1)) in integers
         F.floor(
             (
-                _CONF_ALPHA_NUM * (F.count(F.lit(1)) + 1)
+                _CONF_ALPHA_NUM * (F.sum("n_g") + 1)
                 + _CONF_ALPHA_DEN
                 - 1
             )

@@ -468,6 +468,10 @@ def _part_price_dispersion_nations(
             F.lit(0.0),
         )
     ) / (F.col("s1") / F.col("n_nations"))
+    # r14: scored feeds both the corpus-mean aggregate and the top-k —
+    # lazy-checkpoint it so the lineitem scan + two aggregation
+    # exchanges run once instead of once per consumer (the frame is
+    # bounded by |part|, a few 10k rows at sf0.1).
     scored = per.select(
         "l_partkey",
         "n_nations",
@@ -475,7 +479,7 @@ def _part_price_dispersion_nations(
             "mean_price"
         ),
         F.round(cv, 9).alias("cvkey"),
-    )
+    ).localCheckpoint(eager=False)
     meancv = scored.agg(F.avg("cvkey").alias("corpus_mean_cv"))
     return (
         scored.crossJoin(F.broadcast(meancv))
