@@ -66,15 +66,16 @@ _VERIFY_FIRST = [
     "events_mood_median",
     "events_cochran_q",
     "events_mcnemar",
-    # slot 5: oldest of the six rotation entries evicted late in r13
-    # for the PPJoin plan-changed consumers (promised re-queue, r13
-    # verdict ask #1). The other five (string_agg_sorted,
-    # events_running_distinct, flagship_revenue_by_nation,
-    # events_dwell_times, events_funnel_horizon) are displaced to the
-    # r15 queue front by the second optimization batch below —
-    # plan-changed entries outrank stale greens (verdict ask #6);
-    # flagship additionally has continuous bench + selfcheck coverage.
-    "agg_stats_suite",
+    # The six rotation entries evicted late in r13 for the PPJoin
+    # plan-changed consumers (promised re-queue, r13 verdict ask #1 —
+    # agg_stats_suite, string_agg_sorted, events_running_distinct,
+    # flagship_revenue_by_nation, events_dwell_times,
+    # events_funnel_horizon) are displaced to the r15 queue front by
+    # the optimization batches below — plan-changed entries outrank
+    # stale greens (verdict ask #6); flagship additionally has
+    # continuous bench + selfcheck coverage. They have re-entered the
+    # rotation queue (the ask) even though the r14 window could not
+    # hold them.
     # slots 11-18: entries whose plan or code path changed THIS round
     # after their last green row — the five exact-percentile consumers
     # (operators/percentiles.py single-scan rewrite: NULL-value rows
@@ -164,6 +165,7 @@ _VERIFY_FIRST = [
     "orders_basket_lift",
     "part_price_dispersion_nations",
     "orders_conformal_interval",
+    "graph_triangles",
     # slots 49-50: the PQ paired-subspace consumers (plan-changed this
     # round). dq_benford_digits (stale-green rotation) joins the
     # displaced r15 queue front: events_markov_transitions,

@@ -1096,9 +1096,18 @@ def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold keeps the edge set sparse as the fact table grows —
     graph density, not corpus size, is what triangle joins scale
     with.""".format(s=_TRI_SUPPORT)
+    # r14: hash the raw projection on the order key BEFORE the dedup
+    # (the orders_market_basket / orders_basket_lift discipline). At
+    # sf0.1 the pair join is broadcast either way; the measured win
+    # (A/B 2.26 -> 1.78 s) is the narrower raw exchange replacing the
+    # (ok, pk)-keyed one with its near-useless partial dedup. At scale,
+    # where the deduped side cannot broadcast, the ok-partitioning
+    # additionally lets the pair self-join run without re-exchanging
+    # either side (subset rule), which the old key could not.
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
         .distinct()
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
