@@ -121,22 +121,36 @@ def main() -> None:
         else "docs/SCALE.md round-12 quiet-box shuffle probe (default)"
     )
     PROBE_BAND = 1.2
-    probe_retried = False
+    # r15 (VERDICT r14 ask #2): the one-time 60 s wait is now a bounded
+    # quiet-window retry loop — up to MAX_REPROBES re-probe rounds, each
+    # after a 60 s wait, stopping as soon as one lands inside the band —
+    # so a single co-tenant burst at launch no longer condemns the whole
+    # run to `noisy_box: true`. Bounded (≤ 3 min extra) so the driver's
+    # time budget is respected; `noisy_box` reads the LAST re-probe set.
+    MAX_REPROBES = 3
+    probe_reprobes = 0
     noisy_box = False
-    if sf == 0.1 and min(calib_shuffle) > PROBE_BAND * ANCHOR_SHUFFLE_SEC:
-        probe_retried = True
-        print(
-            f"# shuffle probe {min(calib_shuffle):.3f}s > "
-            f"{PROBE_BAND}x anchor {ANCHOR_SHUFFLE_SEC}s — waiting 60s "
-            "and re-probing once",
-            file=sys.stderr,
-        )
-        time.sleep(60)
-        s2, c2, sh2 = run_probes()
-        calib_scan += s2
-        calib_cpu += c2
-        calib_shuffle += sh2
-        noisy_box = min(sh2) > PROBE_BAND * ANCHOR_SHUFFLE_SEC
+    if sf == 0.1:
+        last_min = min(calib_shuffle)
+        while (
+            last_min > PROBE_BAND * ANCHOR_SHUFFLE_SEC
+            and probe_reprobes < MAX_REPROBES
+        ):
+            probe_reprobes += 1
+            print(
+                f"# shuffle probe {last_min:.3f}s > "
+                f"{PROBE_BAND}x anchor {ANCHOR_SHUFFLE_SEC}s — waiting "
+                f"60s and re-probing ({probe_reprobes}/{MAX_REPROBES})",
+                file=sys.stderr,
+            )
+            time.sleep(60)
+            s2, c2, sh2 = run_probes()
+            calib_scan += s2
+            calib_cpu += c2
+            calib_shuffle += sh2
+            last_min = min(sh2)
+        noisy_box = last_min > PROBE_BAND * ANCHOR_SHUFFLE_SEC
+    probe_retried = probe_reprobes > 0
 
     # Min-of-N per query: the box is shared, and a single co-tenant
     # burst can inflate one query 5-10× — and can span several
@@ -195,6 +209,7 @@ def main() -> None:
                 "anchor_shuffle_sec": ANCHOR_SHUFFLE_SEC,
                 "anchor_provenance": ANCHOR_PROVENANCE,
                 "probe_retried": probe_retried,
+                "probe_reprobes": probe_reprobes,
                 "noisy_box": noisy_box,
             }
         )

@@ -33,4 +33,5 @@ def test_bench_emits_single_json_line():
     assert len(payload["queries"]) >= 20
     assert all(v >= 0 for v in payload["queries"].values())
     assert payload["probe_retried"] is False  # gate only arms at sf0.1
+    assert payload["probe_reprobes"] == 0
     assert payload["noisy_box"] is False

@@ -26,6 +26,24 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _count_scans(plan: str, table: str) -> int:
+    """Number of Scan nodes over ``table`` in a formatted explain.
+
+    Counts detail-section scan blocks (r15, ADVICE r14: a raw substring
+    count of '<table>.parquet' is coupled to Location-line rendering
+    and would flake on a Spark version change or the path appearing in
+    another detail line; a Scan-block count asserts the actual
+    property — how many times the table is scanned)."""
+    import re
+
+    return sum(
+        1
+        for block in plan.split("\n\n")
+        if re.match(r"\(\d+\) Scan parquet", block)
+        and f"{table}.parquet" in block
+    )
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_python_udfs_in_plan(name, spark):
     plan = _plan(REGISTRY[name].fn(spark, SF_DIR))
@@ -152,7 +170,7 @@ def test_q21_probes_decorrelated_to_aggregates(spark):
     assert plan.count("min(l_suppkey") >= 2 and plan.count("max(l_suppkey") >= 2, (
         "both probes should aggregate min/max supplier per order"
     )
-    assert plan.count("lineitem.parquet") == 2, (
+    assert _count_scans(plan, "lineitem") == 2, (
         "lineitem must be scanned exactly twice (late frame + all-supplier agg)"
     )
 

@@ -225,12 +225,82 @@ WINDOW w AS (
 # ------------------------------------------------------------ rank ratios
 
 
+# Scale escape hatch for the 5-partition mktsegment rank window
+# (VERDICT r14 ask #3). Below this on-disk size of orders.parquet the
+# plain segment window wins (measured r14: the distributed rewrite read
+# 0.90 → 1.39 s at sf0.1 — the range-sampling pass + offset join cost
+# more than a 5-task sort of 150k rows); above it a 5-partition
+# full-sort window is the textbook straggler (each segment ≈ bytes/5 on
+# ONE task), so the query switches to the bit-identical distributed
+# rank. 4 GiB default ⇒ the window path never sorts more than ~1 GiB
+# per task; override via SPARK_GRAFT_RANK_SEGMENT_WINDOW_MAX_BYTES for
+# boxes with different per-task comfort.
+import os as _os
+
+_RANK_SEGMENT_WINDOW_MAX_BYTES = int(
+    _os.environ.get(
+        "SPARK_GRAFT_RANK_SEGMENT_WINDOW_MAX_BYTES", str(4 << 30)
+    )
+)
+
+
+def _window_rank_ratios_distributed(j: DataFrame) -> DataFrame:
+    """percent_rank/cume_dist without a per-segment full-sort window:
+    one global range-partitioned row_number over (segment, price, key)
+    — segments are contiguous in that order, so the per-segment row
+    number is rank − min(rank in segment) + 1 — plus a broadcast join
+    against the 5-row per-segment count/base frame.
+
+    Bit-identical to the window path: the ordering includes the unique
+    o_orderkey tiebreaker, so rank == row_number and cume_dist has no
+    peer group; percent_rank = (r−1)/(n−1) and cume_dist = r/n are the
+    same two exact-integer-to-double divisions WindowExec evaluates
+    (n = 1 → percent_rank 0.0, Spark's own guard), and the integer
+    operands are exact in double far beyond any real row count's
+    per-segment size. Pinned by tests/test_plans.py and the two-path
+    equality test in tests/test_rank_gate.py.
+    """
+    from trackdechets_etl_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(
+        j.select("o_orderkey", "c_mktsegment", "o_totalprice"),
+        [
+            F.col("c_mktsegment").asc(),
+            F.col("o_totalprice").asc(),
+            F.col("o_orderkey").asc(),
+        ],
+        rank_col="__r",
+    )
+    segs = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.min("__r").alias("__base"),
+    )
+    r_minus_1 = F.col("__r") - F.col("__base")  # = per-segment rank − 1
+    pct = F.when(
+        F.col("__n") > 1,
+        r_minus_1.cast("double") / (F.col("__n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cume = (r_minus_1 + 1).cast("double") / F.col("__n").cast("double")
+    return ranked.join(F.broadcast(segs), "c_mktsegment").select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(cume, 6).alias("cume"),
+    )
+
+
 def _window_rank_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank and cume_dist per market-segment price ordering —
     the normalized-rank family rounding out the window coverage."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = o.join(c, o.o_custkey == c.c_custkey)
+    try:
+        orders_bytes = _os.stat(f"{sf_dir}/orders.parquet").st_size
+    except OSError:
+        orders_bytes = 0
+    if orders_bytes > _RANK_SEGMENT_WINDOW_MAX_BYTES:
+        return _window_rank_ratios_distributed(j)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
