@@ -30,6 +30,14 @@ def canon_plan(s: str) -> str:
     s = re.sub(r"\[id=#?\d+\]", "[id=x]", s)
     s = re.sub(r"ExistingRDD\[\d+\]", "ExistingRDD[x]", s)
     s = re.sub(r"LocalCheckpointRDD\s*\[\d+\]", "LocalCheckpointRDD[x]", s)
+    # Higher-order-function lambda variables print as x_N / namedlambda
+    # ids drawn from a SESSION-GLOBAL counter, so their numbering
+    # depends on how many HOF lambdas were planned earlier in the
+    # process — registry reordering alone renumbers every later query
+    # (r15: 59 false "changed plans" in the r14→r15 diff before this
+    # rule; all were HOF consumers downstream of the reordered front).
+    s = re.sub(r"\blambda x_\d+", "lambda x_N", s)
+    s = re.sub(r"\bx_\d+", "x_N", s)
     return s
 
 
@@ -70,7 +78,13 @@ def main() -> None:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
     snap = {}
-    for name, spec in registry.items():
+    # Iterate in sorted-name order, NOT registry order: expression-id
+    # and lambda-id counters are session-global, so two snapshots taken
+    # with different _VERIFY_FIRST window orders would renumber every
+    # later query's plan and flag false diffs (r15: the window rotation
+    # alone "changed" 42 untouched plans before this pin).
+    for name in sorted(registry):
+        spec = registry[name]
         if only and name not in only:
             continue
         try:

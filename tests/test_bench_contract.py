@@ -5,11 +5,17 @@ sf0.001 to keep it fast) and validate the shape."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
 import sys
 
+
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 def test_bench_emits_single_json_line():
     env = dict(os.environ)

@@ -12,8 +12,14 @@ cwd=/tmp and only sys.path pointing at the repo.
 
 from __future__ import annotations
 
+import pytest
+
 import subprocess
 import sys
+
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 SCRIPT = """
 import sys

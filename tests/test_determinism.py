@@ -12,6 +12,10 @@ import pytest
 from trackdechets_etl_spark.queries import all_queries
 from tests.conftest import SF_DIR
 
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 RISKY = [
     "agg_keep_last_by_year",
     "agg_dedup_first_by_key",

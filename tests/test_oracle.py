@@ -16,6 +16,10 @@ import pytest
 from trackdechets_etl_spark.queries import all_queries
 from tests.conftest import SF_DIR
 
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 REGISTRY = all_queries()
 
 

@@ -23,6 +23,10 @@ from pyspark.sql import types as T
 from tests.conftest import SF_DIR
 from trackdechets_etl_spark.queries import all_queries
 
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 REGISTRY = all_queries()
 
 

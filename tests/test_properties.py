@@ -4,6 +4,8 @@ semantics on arbitrary inputs — nulls, short strings, unicode, ties."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -11,6 +13,10 @@ from pyspark.sql import functions as F
 from trackdechets_etl_spark.functions.decode import REGIME_LABELS, decode_dict
 from trackdechets_etl_spark.functions.scalar import backfill_if_invalid
 from trackdechets_etl_spark.operators.dedup import keep_last_by
+
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 SETTINGS = settings(
     max_examples=8,

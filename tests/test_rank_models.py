@@ -14,6 +14,10 @@ import random
 import pytest
 
 
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 def _write_events_uv(spark, tmp_path, pairs):
     spark.createDataFrame(pairs, "user_id long, value double").coalesce(
         1

@@ -18,6 +18,10 @@ from trackdechets_etl_spark.operators.ranking import (
 )
 
 
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 def _frame(spark, n, seed=7):
     rng = random.Random(seed)
     rows = [(i, rng.randint(0, 50)) for i in range(1, n + 1)]

@@ -5,6 +5,8 @@ tests/test_oracle.py and the driver window)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -13,6 +15,10 @@ from trackdechets_etl_spark.operators.percentiles import (
     exact_percentiles_value_counts,
 )
 from trackdechets_etl_spark.queries import all_queries
+
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 SF = "/root/testdata/sf0.001"
 

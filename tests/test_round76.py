@@ -3,6 +3,8 @@ hand-built documents."""
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from trackdechets_etl_spark.queries import all_queries
@@ -11,6 +13,10 @@ from trackdechets_etl_spark.queries.round76 import (
     _WIN_MIN_SHARED,
     _WIN_W,
 )
+
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 SF = "/root/testdata/sf0.001"
 

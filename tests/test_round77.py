@@ -3,6 +3,8 @@ pair scoring, Mood's median, Cochran's Q, McNemar."""
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from pyspark.sql import functions as F
@@ -11,6 +13,10 @@ from trackdechets_etl_spark.io.readers import read_table
 from trackdechets_etl_spark.queries import all_queries
 from tests.conftest import SF_DIR
 
+
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 def _q(name):
     return all_queries()[name].fn

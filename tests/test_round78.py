@@ -5,6 +5,8 @@ Atkinson index, LMIR-Dirichlet retrieval."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import tempfile
 
@@ -14,6 +16,10 @@ from trackdechets_etl_spark.io.readers import read_table
 from trackdechets_etl_spark.queries import all_queries
 from tests.conftest import SF_DIR
 
+
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 def _q(name):
     return all_queries()[name].fn

@@ -15,6 +15,10 @@ from tests.test_oracle import _normalize
 from trackdechets_etl_spark.queries.round79 import STAGED_QUERIES
 
 
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 def _compare(spark, name, sf_dir, views):
     spec = STAGED_QUERIES[name]
     sdf = spec.fn(spark, str(sf_dir))

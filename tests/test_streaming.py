@@ -5,6 +5,8 @@ stream dedup."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from trackdechets_etl_spark.io.readers import read_table
@@ -15,6 +17,10 @@ from trackdechets_etl_spark.streaming.events import (
 )
 from tests.conftest import SF_DIR
 
+
+# r15: slow shard — excluded from the default pytest run (see
+# pytest.ini); run the full suite with -m "slow or not slow".
+pytestmark = pytest.mark.slow
 
 def _drain(stream_df, name, mode="complete"):
     q = (

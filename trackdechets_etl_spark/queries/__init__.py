@@ -36,149 +36,111 @@ class QuerySpec:
 # differently; fixed this round by casting the final column to int64
 # both sides, see round56.py and tests/test_output_types.py).
 #
-# The ROUND-14 front below = the r13 verdict's ask #1 (the four
-# round77 additions + the six PPJoin-evicted rotation slots), then
-# this round's own plan changes, the round78 additions, and the
-# stale-green rotation (slot rationale inline in the list).
-# Cumulative through r13: 406/414 oracle-paired entries green-ever;
-# the only never-driver-checked oracle-paired entries are the four
-# round77 additions at slots 1-4 (the 4 *_approx sketch twins are
-# rows-only by design).
-# Post-window queue for the ROUND-15 rotation: (1) any entry whose
-# plan changes after its green row next round, (2) the three r05
-# stale greens displaced by the round78 trio (events_pattern_match,
-# events_rolling_corr, events_gap_interpolate) plus text_zipf_fit
-# (displaced by events_cohen_kappa) and the four tail stale-greens
-# displaced by the late-r14 plan-changed re-entries (graph_triangles,
-# events_cusum_changepoint, sim_knn_classify,
-# events_entropy_profile), then the remaining
-# r05/r06 stale greens oldest-first in their CORRECTNESS file order
-# (text_passage_dedup, text_posting_lists, embedding_standardize,
-# sim_maxsim, events_chisq, parts_skyline_2d, orders_prorate_cents,
-# events_trend_slope, layout_compaction_bins, training_negative_pairs,
-# diff_merkle_buckets, events_sessionize_ids, ...), then r07 greens.
+# The ROUND-15 front below (optimization round 2): this round's five
+# plan-changed entries first, then the ENTIRE displaced r15 queue the
+# round-14 window comments promised (the twice-deferred r13-evicted
+# slots at its head, per ADVICE r14 — nothing slips a third round),
+# then the stale-green rotation oldest-first (r05 file order, then
+# r07). Cumulative through r14: every oracle-paired registry entry has
+# a green driver row; the window now re-verifies plan-changed entries
+# and refreshes the oldest greens.
 _VERIFY_FIRST = [
-    # slots 1-4: the round-13 (round77.py) additions — the only
-    # oracle-paired registry entries with no driver row ever; each
-    # selfchecked at three SFs + partition/strategy-invariant (mood's
-    # chi2 zero-guard landed this round, re-gated after the change).
-    "text_rouge_dup_pairs",
-    "events_mood_median",
-    "events_cochran_q",
-    "events_mcnemar",
-    # The six rotation entries evicted late in r13 for the PPJoin
-    # plan-changed consumers (promised re-queue, r13 verdict ask #1 —
-    # agg_stats_suite, string_agg_sorted, events_running_distinct,
-    # flagship_revenue_by_nation, events_dwell_times,
-    # events_funnel_horizon) are displaced to the r15 queue front by
-    # the optimization batches below — plan-changed entries outrank
-    # stale greens (verdict ask #6); flagship additionally has
-    # continuous bench + selfcheck coverage. They have re-entered the
-    # rotation queue (the ask) even though the r14 window could not
-    # hold them.
-    # slots 11-18: entries whose plan or code path changed THIS round
-    # after their last green row — the five exact-percentile consumers
-    # (operators/percentiles.py single-scan rewrite: NULL-value rows
-    # carry cnt 0, re-seat join deleted), linkage_edit_distance_join
-    # (max_block now defaults to 512 — identical output on fixtures by
-    # the pinned cap>=max-block property, plan gains the hk window),
-    # reco_holdout_hitrate (symmetric map-side co pairs, co checkpoint
-    # deleted), profile_orders (dtype guard — no fixture plan change,
-    # queued out of caution). All selfchecked at sf0.01 + invariance
-    # probes + full drive-mirror green after the changes.
-    "agg_quantiles",
-    "agg_argminmax",
-    "lineitem_tukey_fences",
-    "orders_lorenz_deciles",
-    "events_brown_forsythe",
-    "linkage_edit_distance_join",
-    "reco_holdout_hitrate",
-    # profile_orders (queued out of caution only — dtype guard, no
-    # fixture plan change) is displaced to the r15 queue front by the
-    # second optimization batch below.
-    # text_bleu_dup_pairs: the pairs eager-checkpoint landed after its
-    # r13 green row (round75.py) — re-verify with the new plan
+    # slots 1-5: entries whose plan or code path changed in THIS
+    # optimization round (each bit-identity-pinned old-vs-new at 3 SFs
+    # + interleaved A/B + full drive green before commit — see
+    # OPTIMIZATION_r15.md): the 8-byte gram-key clip joins (BLEU +
+    # ROUGE), the dice candidate-pair checkpoint, the pagerank
+    # checkpoint cadence (output identical; queued out of caution),
+    # and the window_rank_ratios scale gate (local plan byte-identical
+    # — caution only).
     "text_bleu_dup_pairs",
-    # slots 19-27: the nine round-14 additions (round78.py), each
-    # shipped with the full per-entry gate (3-SF selfcheck + partition
-    # + strategy invariance + same-session scaling-sweep rows, all
-    # ratios <= 1.68).
-    "lineitem_grubbs_test",
-    "orders_herfindahl",
+    "text_rouge_dup_pairs",
     "text_dice_tversky",
-    "sim_map_eval",
-    "events_jonckheere_dow",
-    "events_page_trend",
-    "orders_atkinson_index",
-    "text_lmir_topk",
-    "events_ansari_bradley",
-    # slot 28: tenth (final) round-14 addition — Cohen's kappa, same
-    # full per-entry gate; displaces text_zipf_fit to the r15 queue
-    # front (with the three earlier displacements noted above).
-    "events_cohen_kappa",
-    # slots 29-32: late-r14 plan-changed entries (norm-projection and
-    # window-count rewrites, each bit-identity-pinned + full per-entry
-    # gate — see docs/SCALE.md round-14): dedup_clusters +
-    # dedup_token_savings (window count replaces groupBy+join-back),
-    # embedding_hubness_score + dedup_embedding_cosine (per-side norm
-    # projection). Displace the four oldest tail stale-greens
-    # (graph_triangles, events_cusum_changepoint, sim_knn_classify,
-    # events_entropy_profile) to the r15 queue front.
-    "dedup_clusters",
-    "dedup_token_savings",
-    "embedding_hubness_score",
-    "dedup_embedding_cosine",
-    # slots 33-46: optimization-round plan-changed entries (each
-    # bit-identity-pinned by interleaved A/B + targeted oracle compare
-    # at sf0.001/0.01 + full drive green after the change — see
-    # OPTIMIZATION_r14.md): the concurrency-peak fused aggregation,
-    # the three top-k per-side norm projections, the two repeated-span
-    # join-free rewrites, the prefix-filter window-count consumers
-    # (ngram jaccard + its four downstream pipelines, containment,
-    # incremental batch), and the winnow window-max rewrite pair.
-    "events_concurrency_peak",
-    "sim_topk_bruteforce",
-    "sim_lsh_bucket_topk",
-    "sim_ivf_topk",
-    "text_repeated_span_coverage",
-    "text_repeated_span_ladder",
-    "dedup_ngram_jaccard",
-    "pipeline_training_data",
-    "pipeline_corpus_clean",
-    "dedup_minhash_recall",
-    "dedup_incremental_batch",
-    "text_winnow_fingerprints",
-    "dedup_winnow_pairs",
-    "dedup_containment_pairs",
-    # slots 42-48: second optimization batch — plan-changed tail rows
-    # (each bit-identity-pinned by interleaved A/B + targeted oracle
-    # compare at 3 SFs + full drive green after the change — see
-    # OPTIMIZATION_r14.md "continuation"): the Q21 probe
-    # decorrelation, the interval-coalesce dedup removal, the Croston
-    # gap telescoping, the half-graph assortativity, the basket-lift
-    # shared order-key exchange, the price-dispersion checkpoint, and
-    # the conformal model-side n_cal.
-    "tpch_q21_suppliers_waiting",
-    "orders_interval_coalesce",
-    "part_croston_intermittent",
-    "graph_degree_assortativity",
-    "orders_basket_lift",
-    "part_price_dispersion_nations",
-    "orders_conformal_interval",
-    "graph_triangles",
-    # slots 49-50: the PQ paired-subspace consumers (plan-changed this
-    # round). dq_benford_digits (stale-green rotation) joins the
-    # displaced r15 queue front: events_markov_transitions,
-    # events_windowed_dedup, orders_ship_latency, orders_yoy_growth,
-    # join_dpp_partition_pruned, events_ewma_daily,
-    # weighted_median_parts, join_grid_spatial, text_bpe_pairs,
-    # sketch_countmin_heavyhitters, events_rolling_median, events_twap,
-    # events_winsorized_stats, string_agg_sorted,
-    # events_running_distinct, flagship_revenue_by_nation,
-    # events_dwell_times, events_funnel_horizon, profile_orders,
-    # dq_benford_digits.
-    "sim_pq_recall",
-    "sim_ivfpq_topk",
+    "graph_pagerank",
+    "window_rank_ratios",
+    # slots 6-26: the displaced r15 queue, exactly as promised in the
+    # r14 window comments — first the six r13-evicted re-queues
+    # (r13 verdict ask #1, deferred twice, pinned at the queue head
+    # per ADVICE r14) plus the two caution/rotation tokens, then the
+    # thirteen r05 stale greens displaced across r13/r14.
+    "agg_stats_suite",
+    "string_agg_sorted",
+    "events_running_distinct",
+    "flagship_revenue_by_nation",
+    "events_dwell_times",
+    "events_funnel_horizon",
+    "profile_orders",
+    "dq_benford_digits",
+    "events_markov_transitions",
+    "events_windowed_dedup",
+    "orders_ship_latency",
+    "orders_yoy_growth",
+    "join_dpp_partition_pruned",
+    "events_ewma_daily",
+    "weighted_median_parts",
+    "join_grid_spatial",
+    "text_bpe_pairs",
+    "sketch_countmin_heavyhitters",
+    "events_rolling_median",
+    "events_twap",
+    "events_winsorized_stats",
+    # slots 27-33: the stale-green rotation queue inherited from the
+    # r14 comments (r05 greens displaced by round78/round77 additions
+    # and the late-r14 re-entries).
+    "events_pattern_match",
+    "events_rolling_corr",
+    "events_gap_interpolate",
+    "text_zipf_fit",
+    "events_cusum_changepoint",
+    "sim_knn_classify",
+    "events_entropy_profile",
+    # slots 34-45: the remaining r05/r06 stale greens oldest-first in
+    # their CORRECTNESS file order.
+    "text_passage_dedup",
+    "text_posting_lists",
+    "embedding_standardize",
+    "sim_maxsim",
+    "events_chisq",
+    "parts_skyline_2d",
+    "orders_prorate_cents",
+    "events_trend_slope",
+    "layout_compaction_bins",
+    "training_negative_pairs",
+    "diff_merkle_buckets",
+    "events_sessionize_ids",
+    # slots 46-50: the oldest r07 greens not re-verified since.
+    "orders_reorder_rate",
+    "text_hashing_trick",
+    "events_user_type_profile",
+    "events_time_to_first_purchase",
+    "sim_matryoshka_recall",
+]
+
+# Machine-checkable post-window rotation queue for the NEXT round
+# (ADVICE r14: persist the promise as a list the next session can
+# validate, not prose). Ordering contract: any entry whose plan
+# changes next round goes FIRST, then this queue in order — the
+# remaining r06 stale greens oldest-first in their CORRECTNESS file
+# order, skipping entries with newer green rows. Validated against
+# the registry in all_queries() alongside _VERIFY_FIRST.
+_NEXT_ROTATION_QUEUE = [
+    "tpch_q11_important_stock",
+    "events_attribution",
+    "linkage_blocking_score",
+    "dedup_semantic_prune",
+    "events_seasonal_dow",
+    "orders_backlog_aging",
+    "events_uplift_cuped",
+    "text_bigram_lm_score",
+    "events_bounce_rate",
+    "graph_neighbor_mode",
+    "dq_profile_drift",
+    "orders_survival_km",
+    "text_langid_eval",
+    "events_srm_check",
+    "text_js_divergence",
+    "orders_abc_class",
+    "layout_file_skipping",
 ]
 
 
@@ -363,6 +325,11 @@ def all_queries() -> dict[str, QuerySpec]:
     missing = [n for n in _VERIFY_FIRST if n not in merged]
     if missing:
         raise ValueError(f"_VERIFY_FIRST names not in registry: {missing}")
+    stale_queue = [n for n in _NEXT_ROTATION_QUEUE if n not in merged]
+    if stale_queue:
+        raise ValueError(
+            f"_NEXT_ROTATION_QUEUE names not in registry: {stale_queue}"
+        )
     front = {n: merged[n] for n in _VERIFY_FIRST}
     back = {n: s for n, s in merged.items() if n not in front}
     return {**front, **back}
